@@ -1,0 +1,131 @@
+"""HDT-style four-section dictionary construction.
+
+The reference delegates this to the hdt crate (``hdt::Hdt::read_nt``,
+called at src/create.rs:40); the observable output format is the
+published HDT Four Section Dictionary, confirmed from the committed
+fixture tests/resources/apple.hdt (header keys ``dictionaryFour``,
+``dictionarynumSharedSubjectObject``, ``dictionarymapping "1"``):
+
+- terms are split into SO (subject∩object), S (subject-only),
+  O (object-only) and P (predicate) sections, each sorted
+  lexicographically;
+- dense integer IDs: SO terms get 1..n_so in *both* the subject and the
+  object ID space (mapping=1); S-only continue the subject space at
+  n_so+1; O-only continue the object space at n_so+1; P has its own
+  1..n_p space.
+
+Spark realization (scale-first):
+
+- section classification = semi/anti joins on distinct terms
+  (shuffles on term; AQE handles hub-term skew);
+- ordering = ``repartitionByRange(term).sortWithinPartitions(term)``
+  (a range shuffle — no single-partition global sort);
+- dense IDs = ``zipWithIndex`` over the range-sorted partitions
+  (internally: one count-per-partition job + one map — the classic
+  two-pass offset-cumsum, fully distributed and deterministic because
+  IDs depend only on the global sort order, not on partition
+  boundaries).
+
+In addition to the per-graph HDT section IDs we assign every distinct
+term string a **global uid** (one ID space across sections and graphs).
+Triples are encoded with uids so that BGP joins on shared variables are
+plain integer equi-joins even across positions and graphs; the
+per-section sec_ids exist for HDT parity, stats and ordering.  This is a
+deliberate deviation from HDT's in-file layout (we don't write HDT
+bytes; triple-set equivalence is the contract — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SECTION_ORDER = {"so": 0, "s": 1, "o": 2, "p": 3}
+
+
+def zip_with_index(
+    df: DataFrame,
+    sort_cols: list[str],
+    id_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a dense 0-based long ``id_col`` following the global sort
+    order of ``sort_cols``.
+
+    Deterministic: range partition + in-partition sort gives a total
+    order; RDD ``zipWithIndex`` assigns consecutive indices in partition
+    order (it runs one lightweight count job per partition, then a
+    map — no data is gathered to the driver).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ordered = df.repartitionByRange(num_partitions, *sort_cols).sortWithinPartitions(*sort_cols)
+    schema = T.StructType(list(ordered.schema.fields) + [T.StructField(id_col, T.LongType(), False)])
+    rdd = ordered.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
+    return spark.createDataFrame(rdd, schema)
+
+
+def build_term_uids(triples_raw: DataFrame) -> DataFrame:
+    """Global term→uid table: every distinct term string (any position,
+    any graph) gets one dense long uid, ordered lexicographically.
+
+    Schema: term: string, uid: long (uid is 1-based).
+    """
+    all_terms = (
+        triples_raw.select(F.col("s").alias("term"))
+        .unionByName(triples_raw.select(F.col("p").alias("term")))
+        .unionByName(triples_raw.select(F.col("o").alias("term")))
+        .distinct()
+    )
+    with_idx = zip_with_index(all_terms, ["term"], id_col="idx")
+    return with_idx.select("term", (F.col("idx") + 1).alias("uid"))
+
+
+def build_dictionary(triples_raw: DataFrame, term_uids: DataFrame) -> DataFrame:
+    """Per-graph four-section dictionary.
+
+    Schema: graph, term, section ∈ {so,s,o,p}, sec_id (HDT ID within the
+    section's ID space, 1-based, see module docstring), uid (global).
+    """
+    s_terms = triples_raw.select("graph", F.col("s").alias("term")).distinct()
+    o_terms = triples_raw.select("graph", F.col("o").alias("term")).distinct()
+    p_terms = triples_raw.select("graph", F.col("p").alias("term")).distinct()
+
+    so = s_terms.join(o_terms, ["graph", "term"], "left_semi").withColumn("section", F.lit("so"))
+    s_only = s_terms.join(o_terms, ["graph", "term"], "left_anti").withColumn("section", F.lit("s"))
+    o_only = o_terms.join(s_terms, ["graph", "term"], "left_anti").withColumn("section", F.lit("o"))
+    p_sec = p_terms.withColumn("section", F.lit("p"))
+
+    sections = so.unionByName(s_only).unionByName(o_only).unionByName(p_sec)
+    sections = sections.withColumn(
+        "sec_ord",
+        F.when(F.col("section") == "so", F.lit(0))
+        .when(F.col("section") == "s", F.lit(1))
+        .when(F.col("section") == "o", F.lit(2))
+        .otherwise(F.lit(3)),
+    )
+
+    # one global range-sorted index over (graph, section, term) …
+    indexed = zip_with_index(sections, ["graph", "sec_ord", "term"], id_col="idx")
+
+    # … turned into per-(graph, section) dense ranks via tiny group mins
+    mins = indexed.groupBy("graph", "section").agg(F.min("idx").alias("min_idx"))
+    n_so = (
+        indexed.where(F.col("section") == "so")
+        .groupBy("graph")
+        .agg(F.count("*").alias("n_so"))
+    )
+    ranked = (
+        indexed.join(F.broadcast(mins), ["graph", "section"])
+        .join(F.broadcast(n_so), ["graph"], "left")
+        .na.fill({"n_so": 0})
+    )
+    # HDT ID spaces: so → 1..n_so; s/o → n_so + rank; p → 1..n_p
+    rank = F.col("idx") - F.col("min_idx") + 1
+    sec_id = F.when(F.col("section").isin("s", "o"), rank + F.col("n_so")).otherwise(rank)
+    dict_df = ranked.select(
+        "graph", "term", "section", sec_id.cast("long").alias("sec_id")
+    )
+    return dict_df.join(term_uids, "term").select("graph", "term", "section", "sec_id", "uid")

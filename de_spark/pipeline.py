@@ -1,0 +1,151 @@
+"""Checkpointed end-to-end build: the ``de create`` equivalent.
+
+Stages (each a checkpoint, per north_rule resumability):
+
+  1. extract      — source rows → triples_raw strings
+  2. term_uids    — global term→uid assignment
+  3. dict         — four-section per-graph dictionary
+  4. triples      — uid-encoded, SPO-sorted, graph-partitioned
+  5. stats        — VOID header stats
+
+Each stage writes parquet plus a ``_manifest.json`` with row count,
+wall-clock, schema and an order-insensitive content fingerprint
+(sum of per-row crc32 over the canonical JSON of the row — cheap,
+distributed, deterministic).  A killed job resumes by skipping stages
+whose manifest already exists (``build(..., resume=True)``).
+
+Iceberg note: the target deployment materializes these as partitioned
+Iceberg tables (snapshot semantics = the reference's immutable HDT +
+whole-graph add/drop, src/sparql.rs:126-221).  This container has no
+Iceberg runtime, so the catalog layer is parquet + manifest files with
+the same layout and the writes are plain ``write.parquet`` — swap
+``write.parquet(path)`` for ``writeTo(table)`` on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_spark.dictionary import build_dictionary, build_term_uids
+from de_spark.encode import encode_triples, sort_spo
+from de_spark.graph import KnowledgeGraph
+from de_spark.stats import void_stats
+
+
+def _fingerprint(df: DataFrame) -> tuple[int, int]:
+    """(row_count, order-insensitive content checksum) in one pass."""
+    row = df.select(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(F.to_json(F.struct(*df.columns)))).alias("chk"),
+    ).collect()[0]
+    return int(row["n"]), int(row["chk"] or 0)
+
+
+@dataclass
+class StageResult:
+    name: str
+    path: str
+    rows: int
+    checksum: int
+    wall_ms: int
+    skipped: bool
+
+
+def _manifest_path(stage_dir: str) -> str:
+    return os.path.join(stage_dir, "_manifest.json")
+
+
+def _write_stage(
+    df: DataFrame,
+    stage_dir: str,
+    name: str,
+    resume: bool,
+    partition_by: list[str] | None = None,
+    sort: bool = False,
+) -> StageResult:
+    if resume and os.path.exists(_manifest_path(stage_dir)):
+        with open(_manifest_path(stage_dir)) as f:
+            m = json.load(f)
+        return StageResult(name, stage_dir, m["rows"], m["checksum"], m["wall_ms"], True)
+
+    t0 = time.monotonic()
+    out = sort_spo(df) if sort else df
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage_dir)
+
+    written = df.sparkSession.read.parquet(stage_dir)
+    rows, checksum = _fingerprint(written)
+    wall_ms = int((time.monotonic() - t0) * 1000)
+
+    # per-partition lineage: row counts by graph when available
+    per_part = {}
+    if "graph" in written.columns:
+        per_part = {
+            r["graph"]: r["cnt"]
+            for r in written.groupBy("graph").agg(F.count("*").alias("cnt")).collect()
+        }
+    with open(_manifest_path(stage_dir), "w") as f:
+        json.dump(
+            {
+                "stage": name,
+                "rows": rows,
+                "checksum": checksum,
+                "wall_ms": wall_ms,
+                "schema": written.schema.simpleString(),
+                "partitions": per_part,
+            },
+            f,
+            indent=1,
+        )
+    return StageResult(name, stage_dir, rows, checksum, wall_ms, False)
+
+
+def build(
+    triples_raw: DataFrame,
+    out_dir: str,
+    resume: bool = False,
+) -> tuple[KnowledgeGraph, list[StageResult]]:
+    """Materialize a KnowledgeGraph from string triples (``de create``)."""
+    spark = triples_raw.sparkSession
+    results: list[StageResult] = []
+    os.makedirs(out_dir, exist_ok=True)
+
+    raw_dir = f"{out_dir}/triples_raw"
+    results.append(_write_stage(triples_raw, raw_dir, "extract", resume))
+    raw = spark.read.parquet(raw_dir)
+
+    uids_dir = f"{out_dir}/term_uids"
+    if not (resume and os.path.exists(_manifest_path(uids_dir))):
+        uids = build_term_uids(raw)
+    else:
+        uids = spark.read.parquet(uids_dir)
+    results.append(_write_stage(uids, uids_dir, "term_uids", resume))
+    uids = spark.read.parquet(uids_dir)
+
+    dict_dir = f"{out_dir}/dict"
+    results.append(_write_stage(build_dictionary(raw, uids) if not (resume and os.path.exists(_manifest_path(dict_dir))) else spark.read.parquet(dict_dir), dict_dir, "dict", resume))
+
+    triples_dir = f"{out_dir}/triples"
+    results.append(
+        _write_stage(
+            encode_triples(raw, uids),
+            triples_dir,
+            "triples",
+            resume,
+            partition_by=["graph"],
+            sort=True,
+        )
+    )
+
+    stats_dir = f"{out_dir}/stats"
+    results.append(_write_stage(void_stats(raw), stats_dir, "stats", resume))
+
+    return KnowledgeGraph.load(spark, out_dir), results

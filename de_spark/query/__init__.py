@@ -1,0 +1,16 @@
+"""Query layer: triple-pattern BGP compiler, SPARQL-lite front end, and
+SPARQL-results emitters (reference src/query.rs + src/sparql.rs)."""
+
+from de_spark.query.bgp import TriplePattern, compile_bgp
+from de_spark.query.sparql import sparql_select
+from de_spark.query.results import to_csv, to_tsv, to_json, to_xml
+
+__all__ = [
+    "TriplePattern",
+    "compile_bgp",
+    "sparql_select",
+    "to_csv",
+    "to_tsv",
+    "to_json",
+    "to_xml",
+]

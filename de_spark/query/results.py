@@ -1,0 +1,147 @@
+"""SPARQL result serializers: CSV / TSV / JSON / XML (SELECT + ASK).
+
+Byte-shape contract comes from the reference's golden assertions
+(tests/test-commands.rs:186-238):
+
+- CSV: header = bare var names; IRIs bare; literals = lexical form.
+- TSV: header = ``?var``; IRIs in ``<>``; literals quoted with suffix.
+- JSON: ``{"head":{"vars":[…]},"results":{"bindings":[{var:{"type":…,
+  "value":…}}…]}}`` — no spaces.
+- XML: ``<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/
+  sparql-results#">…`` — no declaration spaces.
+
+The string emitters here stream via ``toLocalIterator`` (constant driver
+memory, like the reference's ReadForWrite adapter, src/serve.rs:1427).
+For cluster-scale exports use ``write_csv`` which writes distributed
+files of the same row shape.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+from de_spark import terms
+
+
+def _rows(solutions: DataFrame) -> Iterator:
+    return solutions.toLocalIterator()
+
+
+def to_csv(solutions: DataFrame) -> str:
+    cols = solutions.columns
+    lines = [",".join(cols)]
+    for row in _rows(solutions):
+        vals = []
+        for c in cols:
+            t = row[c]
+            if t is None:
+                vals.append("")
+            elif t.startswith('"'):
+                v, _, _ = terms.literal_parts_py(t)
+                # RFC4180 quoting when needed
+                if any(ch in v for ch in ",\"\n\r"):
+                    v = '"' + v.replace('"', '""') + '"'
+                vals.append(v)
+            else:
+                vals.append(t)
+        lines.append(",".join(vals))
+    return "\r\n".join(lines)
+
+
+def to_tsv(solutions: DataFrame) -> str:
+    cols = solutions.columns
+    lines = ["\t".join("?" + c for c in cols)]
+    for row in _rows(solutions):
+        vals = []
+        for c in cols:
+            t = row[c]
+            if t is None:
+                vals.append("")
+            elif t.startswith('"') or t.startswith("_"):
+                vals.append(t)
+            else:
+                vals.append(f"<{t}>")
+        lines.append("\t".join(vals))
+    return "\n".join(lines)
+
+
+def _json_term(t: str) -> dict:
+    kind = terms.classify_py(t)
+    if kind == terms.KIND_IRI:
+        return {"type": "uri", "value": t}
+    if kind == terms.KIND_BNODE:
+        return {"type": "bnode", "value": t[2:]}
+    value, dt, lang = terms.literal_parts_py(t)
+    d = {"type": "literal", "value": value}
+    if dt:
+        d["datatype"] = dt
+    if lang:
+        d["xml:lang"] = lang
+    return d
+
+
+def to_json(solutions: DataFrame) -> str:
+    cols = solutions.columns
+    bindings = []
+    for row in _rows(solutions):
+        b = {}
+        for c in cols:
+            if row[c] is not None:
+                b[c] = _json_term(row[c])
+        bindings.append(b)
+    return json.dumps(
+        {"head": {"vars": cols}, "results": {"bindings": bindings}},
+        separators=(",", ":"),
+    )
+
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def to_xml(solutions: DataFrame) -> str:
+    cols = solutions.columns
+    parts = ['<?xml version="1.0"?>']
+    parts.append('<sparql xmlns="http://www.w3.org/2005/sparql-results#">')
+    parts.append("<head>" + "".join(f'<variable name="{c}"/>' for c in cols) + "</head>")
+    parts.append("<results>")
+    for row in _rows(solutions):
+        parts.append("<result>")
+        for c in cols:
+            t = row[c]
+            if t is None:
+                continue
+            kind = terms.classify_py(t)
+            if kind == terms.KIND_IRI:
+                inner = f"<uri>{_xml_escape(t)}</uri>"
+            elif kind == terms.KIND_BNODE:
+                inner = f"<bnode>{_xml_escape(t[2:])}</bnode>"
+            else:
+                value, dt, lang = terms.literal_parts_py(t)
+                attrs = ""
+                if dt:
+                    attrs = f' datatype="{_xml_escape(dt)}"'
+                elif lang:
+                    attrs = f' xml:lang="{lang}"'
+                inner = f"<literal{attrs}>{_xml_escape(value)}</literal>"
+            parts.append(f'<binding name="{c}">{inner}</binding>')
+        parts.append("</result>")
+    parts.append("</results></sparql>")
+    return "".join(parts)
+
+
+def ask_to_json(value: bool) -> str:
+    return json.dumps({"head": {}, "boolean": value}, separators=(",", ":"))
+
+
+def write_csv(solutions: DataFrame, path: str) -> None:
+    """Distributed CSV export (S9 at scale): same cell shapes as to_csv."""
+    from pyspark.sql import functions as F
+
+    out = solutions.select(
+        *[terms.sparql_csv_form(F.col(c)).alias(c) for c in solutions.columns]
+    )
+    out.write.mode("overwrite").option("header", True).csv(path)

@@ -1,0 +1,363 @@
+"""SPARQL-lite: parser + executor for the subset the reference's own
+query corpus exercises (SURVEY.md §7 risk 5): PREFIX, SELECT
+[DISTINCT] vars|*, WHERE { BGP with ';'/',' continuations, FILTER,
+OPTIONAL { BGP }, UNION between groups }, ORDER BY [ASC|DESC](?v),
+LIMIT, OFFSET, plus ASK.  The reference gets full SPARQL 1.1 from
+oxigraph's spareval (src/sparql.rs:516-521); everything beyond this
+subset (property paths, subqueries, CONSTRUCT graphs beyond NT,
+aggregates-in-SPARQL) is declared P2 — the DataFrame layer underneath
+already supports the relational equivalents directly.
+
+Execution: BGP → compile_bgp (uid joins) → decode variables to term
+strings → FILTER as Catalyst predicates → DISTINCT/ORDER/LIMIT.
+FILTER/ORDER run on decoded strings, matching the reference's
+string-typed term ordering (SURVEY.md §2.6 O1).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from de_spark import terms
+from de_spark.graph import KnowledgeGraph
+from de_spark.query.bgp import TriplePattern, compile_bgp
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+@dataclass
+class SelectQuery:
+    variables: list[str]          # projected var names, [] ⇒ all (SELECT *)
+    patterns: list[TriplePattern]
+    optionals: list[list[TriplePattern]] = field(default_factory=list)
+    unions: list[list[TriplePattern]] = field(default_factory=list)
+    filters: list[str] = field(default_factory=list)  # raw filter expressions
+    distinct: bool = False
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
+    limit: int | None = None
+    offset: int | None = None
+    ask: bool = False
+
+
+_PREFIX_RE = re.compile(r"PREFIX\s+([\w-]*):\s*<([^>]*)>", re.I)
+_SELECT_RE = re.compile(r"(SELECT|ASK)\s+(DISTINCT\s+)?([^{]*?)\s*(?:WHERE\s*)?\{", re.I | re.S)
+_ORDER_RE = re.compile(r"ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*)", re.I)
+_ORDER_ITEM_RE = re.compile(r"(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", re.I)
+_LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.I)
+_OFFSET_RE = re.compile(r"OFFSET\s+(\d+)", re.I)
+
+_TERM_RE = re.compile(
+    r"""\s*(
+        \?[\w]+
+      | <[^>]*>
+      | "(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|\^\^[\w-]+:[\w.-]*|@[A-Za-z0-9-]+)?
+      | _:[\w-]+
+      | [A-Za-z_][\w-]*:[\w.-]*
+      | \ba\b
+      | true|false
+      | [+-]?\d+(?:\.\d+)?
+    )\s*""",
+    re.VERBOSE,
+)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _strip_comments(q: str) -> str:
+    out = []
+    for line in q.splitlines():
+        # '#' starts a comment unless inside an IRI or literal — good
+        # enough for the supported subset: cut at '#' not preceded by <…
+        cut = len(line)
+        in_quote = False
+        in_iri = False
+        for i, ch in enumerate(line):
+            if ch == '"' and not in_iri:
+                in_quote = not in_quote
+            elif ch == "<" and not in_quote:
+                in_iri = True
+            elif ch == ">" and not in_quote:
+                in_iri = False
+            elif ch == "#" and not in_quote and not in_iri:
+                cut = i
+                break
+        out.append(line[:cut])
+    return "\n".join(out)
+
+
+def _resolve_term(tok: str, prefixes: dict[str, str]) -> str:
+    if tok.startswith("?") or tok.startswith("_:"):
+        return tok
+    if tok.startswith("<"):
+        return tok[1:-1]
+    if tok.startswith('"'):
+        m = re.match(r'^(".*")\^\^([\w-]+):([\w.-]*)$', tok, re.S)
+        if m:
+            return f"{m.group(1)}^^<{prefixes[m.group(2)]}{m.group(3)}>"
+        return tok
+    if tok == "a":
+        return RDF_TYPE
+    if tok in ("true", "false"):
+        return f'"{tok}"^^<{XSD}boolean>'
+    if re.match(r"^[+-]?\d+$", tok):
+        return f'"{tok}"^^<{XSD}integer>'
+    if re.match(r"^[+-]?\d+\.\d+$", tok):
+        return f'"{tok}"^^<{XSD}decimal>'
+    pfx, local = tok.split(":", 1)
+    return prefixes[pfx] + local
+
+
+def _parse_bgp(body: str, prefixes: dict[str, str]) -> list[TriplePattern]:
+    """Parse 'term term term [;|,|.]…' with Turtle-style continuations."""
+    patterns: list[TriplePattern] = []
+    pos = 0
+    subj = pred = None
+    state = "s"
+    body = body.strip()
+    while pos < len(body):
+        ch = body[pos]
+        if ch.isspace():
+            pos += 1
+            continue
+        if ch in ".;,":
+            # continuation punctuation: '.' new subject, ';' keep subject,
+            # ',' keep subject+predicate (Turtle-style, like query-color.rq)
+            state = {".": "s", ";": "p", ",": "o"}[ch]
+            pos += 1
+            continue
+        m = _TERM_RE.match(body, pos)
+        if not m:
+            raise ValueError(f"cannot parse BGP at: {body[pos:pos+40]!r}")
+        tok = _resolve_term(m.group(1), prefixes)
+        pos = m.end()
+        if state == "s":
+            subj, state = tok, "p"
+        elif state == "p":
+            pred, state = tok, "o"
+        else:
+            patterns.append(TriplePattern(subj, pred, tok))
+            state = "s"  # default: next term starts a new statement
+    return patterns
+
+
+def parse_sparql(query: str) -> SelectQuery:
+    q = _strip_comments(query)
+    prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(q)}
+    m = _SELECT_RE.search(q)
+    if not m:
+        raise ValueError("only SELECT/ASK queries are supported")
+    ask = m.group(1).upper() == "ASK"
+    distinct = bool(m.group(2))
+    proj = m.group(3).strip()
+    variables = [] if (ask or proj == "*" or not proj) else re.findall(r"\?(\w+)", proj)
+
+    # WHERE body: between the first '{' and its matching '}'
+    start = m.end() - 1
+    depth = 0
+    end = start
+    for i in range(start, len(q)):
+        if q[i] == "{":
+            depth += 1
+        elif q[i] == "}":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    body = q[start + 1 : end]
+    tail = q[end + 1 :]
+
+    filters: list[str] = []
+    optionals: list[list[TriplePattern]] = []
+    unions: list[list[TriplePattern]] = []
+
+    # extract FILTER(...) clauses
+    def take_filters(text: str) -> str:
+        out = text
+        for fm in re.finditer(r"FILTER\s*\(", out, re.I):
+            start_f = fm.end() - 1
+            d = 0
+            for i in range(start_f, len(out)):
+                if out[i] == "(":
+                    d += 1
+                elif out[i] == ")":
+                    d -= 1
+                    if d == 0:
+                        filters.append(out[start_f + 1 : i])
+                        out = out[: fm.start()] + " " + out[i + 1 :]
+                        return take_filters(out)
+        return out
+
+    body = take_filters(body)
+
+    # OPTIONAL { … } blocks
+    def take_blocks(text: str, keyword: str, sink: list[list[TriplePattern]]) -> str:
+        pat = re.compile(keyword + r"\s*\{", re.I)
+        while True:
+            bm = pat.search(text)
+            if not bm:
+                return text
+            d = 0
+            for i in range(bm.end() - 1, len(text)):
+                if text[i] == "{":
+                    d += 1
+                elif text[i] == "}":
+                    d -= 1
+                    if d == 0:
+                        sink.append(_parse_bgp(text[bm.end() : i], prefixes))
+                        text = text[: bm.start()] + " " + text[i + 1 :]
+                        break
+            else:
+                raise ValueError(f"unbalanced {keyword} block")
+
+    body = take_blocks(body, r"OPTIONAL", optionals)
+    # UNION: '{ A } UNION { B }' — treat every brace group joined by UNION
+    um = re.search(r"\{([^{}]*)\}\s*UNION\s*\{([^{}]*)\}", body, re.I | re.S)
+    if um:
+        unions.append(_parse_bgp(um.group(1), prefixes))
+        unions.append(_parse_bgp(um.group(2), prefixes))
+        body = body[: um.start()] + " " + body[um.end() :]
+
+    patterns = _parse_bgp(body, prefixes) if body.strip() else []
+
+    order_by: list[tuple[str, bool]] = []
+    om = _ORDER_RE.search(tail)
+    if om:
+        for it in _ORDER_ITEM_RE.finditer(om.group(1)):
+            if it.group(3):
+                order_by.append((it.group(3), False))
+            else:
+                order_by.append((it.group(2), it.group(1).upper() == "DESC"))
+    lm = _LIMIT_RE.search(tail)
+    fm = _OFFSET_RE.search(tail)
+
+    return SelectQuery(
+        variables=variables,
+        patterns=patterns,
+        optionals=optionals,
+        unions=unions,
+        filters=filters,
+        distinct=distinct,
+        order_by=order_by,
+        limit=int(lm.group(1)) if lm else None,
+        offset=int(fm.group(1)) if fm else None,
+        ask=ask,
+    )
+
+
+# ---------------------------------------------------------------------------
+# FILTER expression → Catalyst predicate (string-term semantics)
+# ---------------------------------------------------------------------------
+
+_CMP_RE = re.compile(r'^\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*(.+?)\s*$')
+_REGEX_RE = re.compile(r'^\s*REGEX\s*\(\s*\?(\w+)\s*,\s*"((?:[^"\\]|\\.)*)"\s*(?:,\s*"([a-z]*)")?\s*\)\s*$', re.I)
+_BOUND_RE = re.compile(r"^\s*(!)?\s*BOUND\s*\(\s*\?(\w+)\s*\)\s*$", re.I)
+
+
+def _filter_to_column(expr: str, prefixes: dict[str, str] | None = None):
+    for part, op in (("&&", "and"), ("||", "or")):
+        if part in expr:
+            left, right = expr.split(part, 1)
+            l, r = _filter_to_column(left), _filter_to_column(right)
+            return (l & r) if op == "and" else (l | r)
+    m = _REGEX_RE.match(expr)
+    if m:
+        var, pat, flags = m.group(1), m.group(2), m.group(3) or ""
+        if "i" in flags:
+            pat = "(?i)" + pat
+        return terms.sparql_csv_form(F.col(var)).rlike(pat)
+    m = _BOUND_RE.match(expr)
+    if m:
+        c = F.col(m.group(2)).isNotNull()
+        return ~c if m.group(1) else c
+    m = _CMP_RE.match(expr)
+    if m:
+        var, op, rhs = m.groups()
+        rhs = rhs.strip()
+        lhs = F.col(var)
+        if re.match(r"^[+-]?\d+(\.\d+)?$", rhs):
+            lhs = terms.literal_value(F.col(var)).cast("double")
+            rval = F.lit(float(rhs))
+        elif rhs.startswith('"'):
+            mm = re.match(r'^"((?:[^"\\]|\\.)*)"', rhs)
+            lhs = terms.sparql_csv_form(F.col(var))
+            rval = F.lit(mm.group(1))
+        elif rhs.startswith("<"):
+            rval = F.lit(rhs[1:-1])
+        elif rhs.startswith("?"):
+            rval = F.col(rhs[1:])
+        else:
+            rval = F.lit(rhs)
+        return {
+            "=": lhs == rval,
+            "!=": lhs != rval,
+            "<": lhs < rval,
+            "<=": lhs <= rval,
+            ">": lhs > rval,
+            ">=": lhs >= rval,
+        }[op]
+    raise ValueError(f"unsupported FILTER expression: {expr!r}")
+
+
+# ---------------------------------------------------------------------------
+# Executor
+# ---------------------------------------------------------------------------
+
+
+def execute(kg: KnowledgeGraph, q: SelectQuery) -> DataFrame:
+    """Run a parsed query; returns solutions with *string* term columns."""
+    if q.unions:
+        branches = []
+        for branch in q.unions:
+            bq = SelectQuery(variables=q.variables, patterns=q.patterns + branch)
+            branches.append(compile_bgp(kg, bq.patterns))
+        all_vars = sorted({c for b in branches for c in b.columns})
+        padded = [
+            b.select(*[F.col(c) if c in b.columns else F.lit(None).cast("long").alias(c) for c in all_vars])
+            for b in branches
+        ]
+        sols = padded[0]
+        for b in padded[1:]:
+            sols = sols.unionByName(b)
+    else:
+        sols = compile_bgp(kg, q.patterns)
+
+    for opt in q.optionals:
+        right = compile_bgp(kg, opt)
+        shared = [c for c in right.columns if c in sols.columns]
+        sols = sols.join(right, shared, "left")
+
+    var_cols = list(sols.columns)
+    decoded = kg.decode_vars(sols, var_cols)
+
+    for f in q.filters:
+        decoded = decoded.where(_filter_to_column(f))
+
+    proj = q.variables or var_cols
+    decoded = decoded.select(*proj)
+
+    if q.distinct:
+        decoded = decoded.dropDuplicates()
+    if q.order_by:
+        decoded = decoded.orderBy(
+            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in q.order_by]
+        )
+    if q.offset:
+        decoded = decoded.offset(q.offset)
+    if q.limit is not None:
+        decoded = decoded.limit(q.limit)
+    return decoded
+
+
+def sparql_select(kg: KnowledgeGraph, query: str) -> DataFrame:
+    """Parse + execute a SPARQL-lite SELECT/ASK; string-term columns."""
+    q = parse_sparql(query)
+    result = execute(kg, q)
+    if q.ask:
+        spark = result.sparkSession
+        has = result.limit(1).count() > 0
+        return spark.createDataFrame([(has,)], ["bool"])
+    return result

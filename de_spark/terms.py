@@ -1,0 +1,124 @@
+"""HDT term string codec.
+
+The reference keeps terms as plain strings using HDT's conventions
+(reference: src/sparql.rs:372-404 ``hdt_bgp_str_to_term`` and
+src/sparql.rs:407-413 ``term_to_hdt_bgp_str``):
+
+- IRI       → bare, **no** angle brackets: ``http://example.org/Banana``
+- literal   → leading double quote, optional ``^^<datatype>`` or ``@lang``
+              suffix: ``"true"^^<http://www.w3.org/2001/XMLSchema#boolean>``
+- blank     → leading underscore: ``_:b0``
+
+Everything here is a pure function of the term string, implemented twice:
+once as Catalyst Column expressions (the hot path — stays JVM-side inside
+whole-stage codegen) and once in plain Python for driver-side emitters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+KIND_IRI = "iri"
+KIND_LITERAL = "literal"
+KIND_BNODE = "bnode"
+
+# ---------------------------------------------------------------------------
+# Column-level (JVM, codegen) versions — use these in pipelines.
+# ---------------------------------------------------------------------------
+
+
+def classify(term: Column) -> Column:
+    """{iri, literal, bnode} by first character (src/sparql.rs:372-404)."""
+    return (
+        F.when(term.startswith('"'), F.lit(KIND_LITERAL))
+        .when(term.startswith("_"), F.lit(KIND_BNODE))
+        .otherwise(F.lit(KIND_IRI))
+    )
+
+
+def literal_value(term: Column) -> Column:
+    """Lexical form of a literal term (contents of the leading quotes)."""
+    return F.regexp_extract(term, r'^"((?:[^"\\]|\\.)*)"', 1)
+
+
+def literal_datatype(term: Column) -> Column:
+    """Datatype IRI of a literal, or '' if plain/lang-tagged."""
+    return F.regexp_extract(term, r'\^\^<([^>]*)>$', 1)
+
+
+def literal_lang(term: Column) -> Column:
+    """Language tag of a literal, or ''."""
+    return F.regexp_extract(term, r'"@([A-Za-z0-9-]+)$', 1)
+
+
+def sparql_csv_form(term: Column) -> Column:
+    """SPARQL-results-CSV rendering: IRIs bare, literals unquoted lexical
+    form, bnodes as-is (matches sparesults CSV, asserted at
+    reference tests/test-commands.rs:186-190)."""
+    return F.when(term.startswith('"'), literal_value(term)).otherwise(term)
+
+
+def sparql_tsv_form(term: Column) -> Column:
+    """SPARQL-results-TSV rendering: IRIs in <>, literals quoted with
+    suffix, bnodes as-is (tests/test-commands.rs:203-206)."""
+    return (
+        F.when(term.startswith('"'), term)
+        .when(term.startswith("_"), term)
+        .otherwise(F.concat(F.lit("<"), term, F.lit(">")))
+    )
+
+
+def ntriples_form(term: Column) -> Column:
+    """N-Triples rendering (for CONSTRUCT-style graph output)."""
+    return sparql_tsv_form(term)
+
+
+# ---------------------------------------------------------------------------
+# Plain-Python versions — driver-side emitters / tests.
+# ---------------------------------------------------------------------------
+
+
+def classify_py(term: str) -> str:
+    if term.startswith('"'):
+        return KIND_LITERAL
+    if term.startswith("_"):
+        return KIND_BNODE
+    return KIND_IRI
+
+
+_NT_UNESCAPES = [
+    ("\\\\", "\x00"),  # protect escaped backslash first
+    ('\\"', '"'),
+    ("\\n", "\n"),
+    ("\\t", "\t"),
+    ("\\r", "\r"),
+    ("\x00", "\\"),
+]
+
+
+def unescape_nt_py(s: str) -> str:
+    for a, b in _NT_UNESCAPES:
+        s = s.replace(a, b)
+    return s
+
+
+def literal_parts_py(term: str) -> tuple[str, str | None, str | None]:
+    """(lexical_value, datatype_iri|None, lang|None) for a literal term."""
+    assert term.startswith('"')
+    # find closing quote honoring escapes
+    i, n = 1, len(term)
+    while i < n:
+        if term[i] == "\\":
+            i += 2
+            continue
+        if term[i] == '"':
+            break
+        i += 1
+    value = unescape_nt_py(term[1:i])
+    rest = term[i + 1 :]
+    if rest.startswith("^^<") and rest.endswith(">"):
+        return value, rest[3:-1], None
+    if rest.startswith("@"):
+        return value, None, rest[1:]
+    return value, None, None

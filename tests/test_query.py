@@ -1,0 +1,135 @@
+"""End-to-end golden tests mirroring the reference's
+tests/test-commands.rs (query-color, fruit-color + all four formats)."""
+
+import pytest
+
+from de_spark.pipeline import build
+from de_spark.query import sparql_select, to_csv, to_json, to_tsv, to_xml
+from de_spark.sources.nt import triples_from_nt_text
+from de_spark.sources.turtle import parse_turtle
+from de_spark import terms
+from tests.fixtures import (
+    ALL_RQ,
+    BANANA_NT,
+    PINEAPPLE_TTL,
+    QUERY_COLOR_RQ,
+    QUERY_FRUIT_COLOR_RQ,
+)
+
+
+def raw_from_ttl(spark, ttl, graph):
+    data = [(s, p, o, terms.classify_py(o), graph) for s, p, o in parse_turtle(ttl)]
+    return spark.createDataFrame(data, ["s", "p", "o", "o_kind", "graph"])
+
+
+@pytest.fixture(scope="module")
+def fruit_kg(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fruit_kg"))
+    raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt").unionByName(
+        raw_from_ttl(spark, PINEAPPLE_TTL, "file:///pineapple.hdt")
+    )
+    kg, _ = build(raw, out)
+    return kg
+
+
+@pytest.fixture(scope="module")
+def pineapple_kg(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pine_kg"))
+    kg, _ = build(raw_from_ttl(spark, PINEAPPLE_TTL, "file:///pineapple.hdt"), out)
+    return kg
+
+
+def test_query_color_golden(fruit_kg):
+    """reference tests/test-commands.rs:360-364 (two graphs, union)."""
+    sols = sparql_select(fruit_kg, QUERY_COLOR_RQ)
+    assert to_csv(sols).replace("\r", "").strip() == (
+        "fruit\nhttp://example.org/Pineapple\nhttp://example.org/Banana"
+    )
+
+
+def test_fruit_color_csv_golden(pineapple_kg):
+    """reference tests/test-commands.rs:186-190."""
+    sols = sparql_select(pineapple_kg, QUERY_FRUIT_COLOR_RQ)
+    assert to_csv(sols).replace("\r", "").strip() == (
+        "fruit,color\nhttp://example.org/Pineapple,yellow"
+    )
+
+
+def test_fruit_color_tsv_golden(pineapple_kg):
+    sols = sparql_select(pineapple_kg, QUERY_FRUIT_COLOR_RQ)
+    assert to_tsv(sols).strip() == '?fruit\t?color\n<http://example.org/Pineapple>\t"yellow"'
+
+
+def test_fruit_color_json_golden(pineapple_kg):
+    sols = sparql_select(pineapple_kg, QUERY_FRUIT_COLOR_RQ)
+    assert to_json(sols) == (
+        '{"head":{"vars":["fruit","color"]},"results":{"bindings":'
+        '[{"fruit":{"type":"uri","value":"http://example.org/Pineapple"},'
+        '"color":{"type":"literal","value":"yellow"}}]}}'
+    )
+
+
+def test_fruit_color_xml_golden(pineapple_kg):
+    sols = sparql_select(pineapple_kg, QUERY_FRUIT_COLOR_RQ)
+    assert to_xml(sols) == (
+        '<?xml version="1.0"?>'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        '<head><variable name="fruit"/><variable name="color"/></head>'
+        "<results><result>"
+        '<binding name="fruit"><uri>http://example.org/Pineapple</uri></binding>'
+        '<binding name="color"><literal>yellow</literal></binding>'
+        "</result></results></sparql>"
+    )
+
+
+def test_all_distinct(fruit_kg):
+    sols = sparql_select(fruit_kg, ALL_RQ)
+    # banana(12) + pineapple(12) with 2 shared triples (Fruit type/label)
+    assert sols.count() == 22
+
+
+def test_pattern_shapes(fruit_kg):
+    ex = "http://example.org/"
+    # fully free
+    assert fruit_kg.pattern().count() == 24
+    # p bound
+    assert fruit_kg.pattern(p=f"{ex}hasColor").count() == 2
+    # p+o bound
+    assert fruit_kg.pattern(p=f"{ex}hasColor", o='"yellow"').count() == 2
+    # s bound
+    assert fruit_kg.pattern(s=f"{ex}Banana").count() == 10
+    # graph restriction prunes partitions
+    assert fruit_kg.pattern(graph="file:///banana.hdt").count() == 12
+
+
+def test_ask_query(fruit_kg):
+    df = sparql_select(fruit_kg, 'ASK { ?s <http://example.org/hasColor> "yellow" }')
+    assert df.collect()[0]["bool"] is True
+    df = sparql_select(fruit_kg, 'ASK { ?s <http://example.org/hasColor> "purple" }')
+    assert df.collect()[0]["bool"] is False
+
+
+def test_filter_and_limit(fruit_kg):
+    q = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?fruit ?taste WHERE {
+      ?fruit ex:hasTaste ?taste .
+      FILTER(?taste = "sweet")
+    } ORDER BY ?fruit LIMIT 1
+    """
+    sols = sparql_select(fruit_kg, q)
+    assert to_csv(sols).replace("\r", "").strip() == "fruit,taste\nhttp://example.org/Banana,sweet"
+
+
+def test_optional(fruit_kg):
+    q = """
+    PREFIX ex: <http://example.org/>
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?fruit ?label WHERE {
+      ?fruit a ex:Fruit .
+      OPTIONAL { ?fruit rdfs:label ?label }
+    } ORDER BY ?fruit
+    """
+    rows = sparql_select(fruit_kg, q).collect()
+    assert [r["fruit"].rsplit("/", 1)[1] for r in rows] == ["Banana", "Pineapple"]
+    assert all(r["label"] is None for r in rows)
