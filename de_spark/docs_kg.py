@@ -1,0 +1,114 @@
+"""KG construction over the driver's ``documents`` table.
+
+The documents table (doc_id, text, lang, source, n_chars) is the
+driver-provided proxy for the source-code corpus (FIXTURES.md §1 note:
+source→repo, doc_id→path, text→content).  The extraction here is
+deliberately SQL-expressible so the whole pipeline — extraction,
+term-uid assignment, four-section dictionary, triple encoding, VOID
+stats, BGP joins — has an exact DuckDB oracle in __spark_entry__.py.
+
+Entity model: one named graph per source; doc/source entities;
+``mentions`` edges to word entities (words ≥5 chars — the textual
+analog of import edges, with the same hub-skew shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_spark.dictionary import build_dictionary, build_term_uids
+from de_spark.encode import encode_triples
+from de_spark.graph import KnowledgeGraph
+from de_spark.stats import void_stats
+
+ENT = "http://example.org/"
+CODE = "http://example.org/code#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+MIN_WORD_LEN = 5
+
+
+def documents_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → triples_raw (s, p, o, o_kind, graph)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    graph = F.concat(F.lit("doc:///"), F.col("source"))
+    doc_iri = F.concat(F.lit(ENT + "doc/"), F.col("doc_id").cast("string"))
+    src_iri = F.concat(F.lit(ENT + "source/"), F.col("source"))
+
+    def tp(s, p, o, kind):
+        return docs.select(
+            s.alias("s"), F.lit(p).alias("p"), o.alias("o"),
+            F.lit(kind).alias("o_kind"), graph.alias("graph"),
+        )
+
+    doc_type = tp(doc_iri, RDF_TYPE, F.lit(CODE + "Document"), "iri")
+    doc_src = tp(doc_iri, CODE + "source", src_iri, "iri")
+    src_type = tp(src_iri, RDF_TYPE, F.lit(CODE + "Source"), "iri").distinct()
+    doc_lang = tp(doc_iri, CODE + "lang", F.concat(F.lit('"'), F.col("lang"), F.lit('"')), "literal")
+
+    words = docs.select(
+        doc_iri.alias("s"),
+        graph.alias("graph"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("w"),
+    ).where(F.length("w") >= MIN_WORD_LEN)
+    mentions = words.select(
+        "s",
+        F.lit(CODE + "mentions").alias("p"),
+        F.concat(F.lit(ENT + "word/"), F.col("w")).alias("o"),
+        F.lit("iri").alias("o_kind"),
+        "graph",
+    )
+    return doc_type.unionByName(doc_src).unionByName(src_type).unionByName(doc_lang).unionByName(mentions)
+
+
+_KG_CACHE: dict[str, KnowledgeGraph] = {}
+
+
+def documents_kg(spark: SparkSession, sf_dir: str) -> KnowledgeGraph:
+    """Build (and cache per sf_dir) the in-memory KG over documents."""
+    key = sf_dir.rstrip("/")
+    if key in _KG_CACHE:
+        return _KG_CACHE[key]
+    raw = documents_triples(spark, sf_dir)
+    uids = build_term_uids(raw).cache()
+    kg = KnowledgeGraph(
+        term_uids=uids,
+        dict_df=build_dictionary(raw, uids).cache(),
+        triples=encode_triples(raw, uids).cache(),
+        stats=void_stats(raw).cache(),
+    )
+    _KG_CACHE[key] = kg
+    return kg
+
+
+# The same extraction as ANSI SQL (DuckDB oracle) — one CTE reused by
+# every kg_* oracle query.
+TRIPLES_SQL = f"""
+WITH words AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
+  FROM documents
+),
+triples AS (
+  SELECT '{ENT}doc/' || doc_id AS s, '{RDF_TYPE}' AS p,
+         '{CODE}Document' AS o, 'doc:///' || source AS graph
+  FROM documents
+  UNION ALL
+  SELECT '{ENT}doc/' || doc_id, '{CODE}source',
+         '{ENT}source/' || source, 'doc:///' || source
+  FROM documents
+  UNION ALL
+  SELECT DISTINCT '{ENT}source/' || source, '{RDF_TYPE}',
+         '{CODE}Source', 'doc:///' || source
+  FROM documents
+  UNION ALL
+  SELECT '{ENT}doc/' || doc_id, '{CODE}lang',
+         '"' || lang || '"', 'doc:///' || source
+  FROM documents
+  UNION ALL
+  SELECT '{ENT}doc/' || doc_id, '{CODE}mentions',
+         '{ENT}word/' || w, 'doc:///' || source
+  FROM words WHERE length(w) >= {MIN_WORD_LEN}
+)
+"""

@@ -1,0 +1,204 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale notes (the point of each variant):
+
+- exact_dedup: one hash-groupBy — the cheapest, always first.
+- jaccard_pairs: exact pairwise Jaccard via a token self-join.  Cost is
+  Σ per-token df² — fine for verification scale and as the oracle for
+  the approximate methods; NOT the 100 TB path.
+- minhash_lsh_pairs: the 100 TB path.  shingle → k minhashes → band →
+  bucket join; candidate pairs are only those sharing a band bucket,
+  so the shuffle is O(docs·bands), never O(docs²).  Hashes are
+  xxhash64 with fixed seeds — deterministic across runs/partitions.
+- simhash: 64-bit signature via per-token hash bit voting; hamming
+  neighbors within a radius dedup family.
+- embedding_neardup_pairs: cosine over an embedding column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
+    ).where(F.col("tok") != "")
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact content hash.
+    Returns (doc_id, content_hash, n_copies)."""
+    return (
+        documents.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(F.min(id_col).alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "content_hash", "n_copies")
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Word n-gram shingles, distinct per doc: (doc_id, shingle).
+
+    Built with JVM-side array ops: split → transform over a positional
+    sequence → slice/join — no Python in the row path.
+    """
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - 1)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (a < b), similarity ≥ threshold.
+
+    Shuffles on the shingle — hot shingles blow up the self-join, which
+    is precisely what minhash_lsh_pairs avoids; keep this as the
+    correctness oracle and small-scale tool.
+    """
+    sh = (shingles(documents, n, id_col, text_col) if n > 1 else _tokens(documents, id_col, text_col).withColumnRenamed("tok", "shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — k independent minhashes per doc.
+
+    minhash_i(doc) = min over shingles of xxhash64(shingle, seed=i).
+    One groupBy computes all k mins (partial aggregation map-side)."""
+    sh = shingles(documents, shingle_n, id_col, text_col)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified by signature
+    similarity ≥ threshold.  Returns (a, b, sig_sim)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, shingle_n, id_col, text_col)
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", bi * rows_per_band + ri + 1).cast("string")
+                                for ri in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for bi in range(bands)
+            ]
+        )
+    ).alias("bb")
+    banded = sigs.select("doc_id", "sig", band_cols).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    sim = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+        / F.size("sig_a"),
+        6,
+    )
+    return cand.select("a", "b", sim.alias("sig_sim")).where(F.col("sig_sim") >= threshold)
+
+
+def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, majority vote per bit.
+    Returns (doc_id, simhash: long)."""
+    toks = _tokens(documents, id_col, text_col).withColumn("h", F.xxhash64("tok"))
+    bit_votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
+        sig = term if sig is None else sig + term
+    return bit_votes.select("doc_id", sig.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column (a < b).
+
+    Brute force O(n²/2) — verification scale.  The 100 TB path buckets
+    by LSH first (see de_spark.ops.similarity.hyperplane_lsh_topk)."""
+    from de_spark.ops.similarity import _cosine
+
+    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

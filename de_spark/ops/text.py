@@ -1,0 +1,111 @@
+"""Text analysis operators over a documents table
+(doc_id, text, lang, source, n_chars): language-ID, quality scoring,
+token counting, fingerprinting.
+
+All pure Catalyst column expressions — JVM-side, whole-stage codegen,
+no UDFs — so they run at scan speed and push projections down.  Each
+has an ANSI-SQL twin in __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# distinctive high-frequency function words per language (tiny, fixed
+# vocabulary — a heuristic n-gram/stopword language model)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "los", "que"],
+    "de": ["der", "die", "und", "nicht"],
+    "fr": ["le", "les", "des", "est"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization count (0 for empty/blank)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND between
+    letter/digit/punct class transitions (a cheap BPE proxy)."""
+    pieces = F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]"), 0)
+    return F.size(pieces).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def stopword_ratio(text: Column, words: list[str] | None = None) -> Column:
+    words = words or LANG_MARKERS["en"]
+    pat = r"\b(" + "|".join(words) + r")\b"
+    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+    toks = token_count(text)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(hits.cast("double") / toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punct noise
+    + presence of function words.  Deterministic and cheap; mirrors
+    C4/Gopher-style rule scoring."""
+    n = F.length(text)
+    len_score = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_score = F.when(punct_ratio(text) < 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.when(stopword_ratio(text) > 0.01, F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + punct_score + stop_score) / 3.0, 6)
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    lowered = F.lower(text)
+    out = []
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out.append((lang, F.size(F.regexp_extract_all(lowered, F.lit(pat), 0))))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language ID → {en,es,de,fr,unknown}.  Ties and
+    zero-evidence → 'unknown' (e.g. the zh docs here, which carry no
+    latin marker words)."""
+    scores = lang_scores(text)
+    best = None
+    best_score = None
+    for lang, s in scores:
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            take = s > best_score
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_score = F.when(take, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the
+    whitespace-normalized lowercase text (rolling-hash analog that is
+    reproducible in any engine)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def analyze(documents: DataFrame) -> DataFrame:
+    """One-pass text-analysis projection of a documents table."""
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subtokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    )

@@ -1,0 +1,218 @@
+"""Tests for training-data ops: text analysis, dedup family,
+similarity search, multimodal plumbing, skew utilities."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_spark.ops import dedup, multimodal, similarity, skew, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- text ----
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "a b  c"), (2, ""), (3, "  "), (4, "one")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 3, 2: 0, 3: 0, 4: 1}
+
+
+def test_analyze_shapes(documents):
+    out = text.analyze(documents)
+    rows = out.collect()
+    assert len(rows) == documents.count()
+    r = rows[0]
+    assert r["n_tokens"] > 0 and 0 <= r["quality"] <= 1
+    assert len(r["fp"]) == 32
+    langs = {r["lang_pred"] for r in rows}
+    assert langs <= {"en", "es", "de", "fr", "unknown"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([(1, "Hello  World"), (2, "hello world ")], ["doc_id", "text"])
+    fps = [r["fp"] for r in df.select(text.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+# --------------------------------------------------------------- dedup ----
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = {r["shingle"] for r in dedup.shingles(df, n=3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in dedup.jaccard_pairs(df, threshold=0.5, n=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.7
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_neardups(spark):
+    base = "w%d " * 40
+    docs = [(i, (base % tuple(range(40)))) for i in range(5)]
+    # doc 5 = near-dup of doc 0 with one token changed; doc 6 unrelated
+    docs.append((5, (base % tuple(range(40))).replace("w3 ", "w99 ")))
+    docs.append((6, " ".join(f"z{i}" for i in range(40))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(df, num_hashes=32, bands=8, shingle_n=3, threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # identical docs 0-4 all pair up; the near-dup 5 pairs with them
+    assert (0, 1) in got and (0, 5) in got
+    assert all(6 not in pair for pair in got)
+
+
+def test_minhash_vs_jaccard_agreement(documents):
+    """LSH candidates at high signature sim must be true Jaccard dups."""
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup.jaccard_pairs(documents, threshold=0.9, n=3).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_pairs(
+            documents, num_hashes=32, bands=8, threshold=0.9
+        ).collect()
+    }
+    if exact or approx:
+        # precision of the approximate method vs the exact oracle
+        inter = len(exact & approx)
+        assert inter / max(len(approx), 1) >= 0.8
+
+
+def test_simhash_close_for_neardups(spark):
+    t = " ".join(f"tok{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, t), (2, t.replace("tok5 ", "tok999 ")), (3, " ".join(f"z{i}" for i in range(100)))],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    ham12 = bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1")
+    ham13 = bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1")
+    assert ham12 < 10 < ham13
+
+
+def test_embedding_neardup(embeddings):
+    pairs = dedup.embedding_neardup_pairs(embeddings.limit(100), threshold=0.99)
+    for r in pairs.collect():
+        assert r["a"] < r["b"] and r["cosine"] >= 0.99
+
+
+# ---------------------------------------------------------- similarity ----
+
+
+def test_brute_force_topk(embeddings):
+    q = embeddings.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = similarity.brute_force_topk(embeddings, list(q), k=5).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-5
+    cos = [r["cosine"] for r in top]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_lsh_topk_recall(embeddings):
+    """LSH top-k must recover most of the exact top-k."""
+    q = list(embeddings.where(F.col("vec_id") == 7).collect()[0]["embedding"])
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.hyperplane_lsh_topk(
+            embeddings, q, k=10, n_planes=6, n_tables=4, multiprobe_hamming=1
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_pairwise_topk(embeddings):
+    out = similarity.pairwise_topk_per_vector(embeddings.limit(30), k=3)
+    counts = out.groupBy("a").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+
+
+# ----------------------------------------------------------- multimodal ----
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 8 and r["decode_ok"] for r in feats)
+    # deterministic
+    again = multimodal.extract_features(multimodal.synthetic_media(spark, n=12)).collect()
+    assert {r["media_id"]: list(r["feature"]) for r in feats} == {
+        r["media_id"]: list(r["feature"]) for r in again
+    }
+
+
+def test_multimodal_strict_raises(spark):
+    media = multimodal.synthetic_media(spark, n=3)
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, strict=True).collect()
+
+
+def test_frame_sampling(spark):
+    media = multimodal.synthetic_media(spark, n=9)
+    frames = multimodal.sample_frames(media, every_ms=5000)
+    rows = frames.collect()
+    assert rows and all(r["ts_ms"] % 5000 == 0 for r in rows)
+    vid = media.where(F.col("kind") == "video").collect()[0]
+    expect = len(range(0, vid["duration_ms"], 5000))
+    got = frames.where(F.col("media_id") == vid["media_id"]).count()
+    assert got == expect
+
+
+def test_resize_plan(spark):
+    media = multimodal.synthetic_media(spark, n=9)
+    plan = multimodal.resize_plan(media, max_side=100).collect()
+    for r in plan:
+        assert max(r["out_width"], r["out_height"]) <= 100
+        # aspect ratio preserved within rounding
+        assert abs(r["out_width"] / r["out_height"] - r["width"] / r["height"]) < 0.1
+
+
+# ----------------------------------------------------------------- skew ----
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame([(i % 3, f"v{i}") for i in range(100)], ["k", "v"])
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "name"])
+    plain = {(r["k"], r["v"], r["name"]) for r in big.join(small, ["k"]).collect()}
+    salted = {(r["k"], r["v"], r["name"]) for r in skew.salted_join(big, small, ["k"], salt=4).collect()}
+    assert plain == salted
+
+
+def test_salted_join_spreads_hot_key(spark):
+    big = spark.createDataFrame([(0, f"v{i}") for i in range(64)], ["k", "v"])
+    salt_col = (
+        F.crc32(F.concat_ws("\x1f", F.col("k").cast("string"), F.col("v"))) % 4
+    )
+    n_salts = big.select(salt_col.alias("s")).distinct().count()
+    assert n_salts > 1  # one hot key really does fan out
