@@ -1,0 +1,108 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "kg_build": {...}}
+
+The headline number for the north_rule is kg_build: the end-to-end
+extract → term-uid → dictionary → encode → materialize pipeline over
+the synthetic source-code corpus at the matching SF, reported as
+triples/sec.  Relational/ops queries run over the driver testdata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from de_spark.corpus import generate_corpus
+from de_spark.extract import extract_code_triples
+from de_spark.pipeline import build
+from de_spark.session import get_spark
+
+
+def bench_kg_build(spark, sf: float) -> dict:
+    """End-to-end KG construction throughput on the synthetic corpus."""
+    out_dir = tempfile.mkdtemp(prefix="de_bench_kg_")
+    try:
+        t0 = time.monotonic()
+        corpus = generate_corpus(spark, sf)
+        raw = extract_code_triples(corpus)
+        kg, stages = build(raw, out_dir)
+        n_triples = kg.triples.count()
+        wall = time.monotonic() - t0
+        return {
+            "sf": sf,
+            "triples": n_triples,
+            "wall_sec": round(wall, 3),
+            "triples_per_sec": round(n_triples / wall, 1),
+            "stages": {s.name: s.wall_ms for s in stages},
+        }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+QUERY_NAMES = [
+    "kg_bgp_mentions",
+    "kg_mentions_degree",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top10_orders",
+    "cust_order_counts_left",
+    "events_latest_per_user",
+    "text_analyze",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("de_bench", cpus=cpus, shuffle_partitions=cpus)
+
+    total0 = time.monotonic()
+    queries: dict[str, float] = {}
+
+    # KG construction headline
+    kg_build = bench_kg_build(spark, sf)
+    queries["kg_build"] = kg_build["wall_sec"]
+
+    qs = entrymod.queries()
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(time.monotonic() - total0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg-construct+query suite wall time (headline: kg_build triples/sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "kg_build": kg_build,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

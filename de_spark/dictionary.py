@@ -51,54 +51,112 @@ def zip_with_index(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append a dense 0-based long ``id_col`` following the global sort
-    order of ``sort_cols``.
+    order of ``sort_cols`` — entirely JVM-side.
 
-    Deterministic: range partition + in-partition sort gives a total
-    order; RDD ``zipWithIndex`` assigns consecutive indices in partition
-    order (it runs one lightweight count job per partition, then a
-    map — no data is gathered to the driver).
+    The classic distributed two-pass: range partition + in-partition
+    sort gives a total order; the partition id is materialized as a
+    column and the frame persisted (so both passes see one layout);
+    pass 1 collects per-partition counts (tiny — one row per
+    partition); pass 2 adds offset + per-partition row_number.  The
+    window is partitioned by pid, so no single-reducer global sort
+    ever happens, and nothing crosses the Python boundary (the RDD
+    zipWithIndex equivalent would serialize every row through Python).
+    IDs depend only on the global sort order, not partition placement.
     """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ordered = df.repartitionByRange(num_partitions, *sort_cols).sortWithinPartitions(*sort_cols)
-    schema = T.StructType(list(ordered.schema.fields) + [T.StructField(id_col, T.LongType(), False)])
-    rdd = ordered.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
-    return spark.createDataFrame(rdd, schema)
+    ordered = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_col = F.coalesce(
+        *([F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[F.col("__pid")]]
+          if offsets else [F.lit(0)]),
+        F.lit(0),
+    ).cast("long")
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    out = ordered.withColumn(
+        id_col, (offset_col + F.row_number().over(w) - 1).cast("long")
+    ).drop("__pid")
+    return out
 
 
-def build_term_uids(triples_raw: DataFrame) -> DataFrame:
+def position_flags(triples_raw: DataFrame) -> DataFrame:
+    """(graph, term, is_s, is_o, is_p) — ONE shuffle for all the set
+    algebra the four sections need (the semi/anti-join formulation
+    would shuffle the term universe three times; the flag aggregation
+    does it once, with map-side partial aggregation absorbing hub
+    terms before the exchange)."""
+    t = triples_raw
+
+    def leg(col: str, s: int, o: int, p: int) -> DataFrame:
+        return t.select(
+            "graph",
+            F.col(col).alias("term"),
+            F.lit(s).alias("is_s"),
+            F.lit(o).alias("is_o"),
+            F.lit(p).alias("is_p"),
+        )
+
+    u = leg("s", 1, 0, 0).unionByName(leg("o", 0, 1, 0)).unionByName(leg("p", 0, 0, 1))
+    return u.groupBy("graph", "term").agg(
+        F.max("is_s").alias("is_s"),
+        F.max("is_o").alias("is_o"),
+        F.max("is_p").alias("is_p"),
+    )
+
+
+def build_term_uids(triples_raw: DataFrame, flags: DataFrame | None = None) -> DataFrame:
     """Global term→uid table: every distinct term string (any position,
     any graph) gets one dense long uid, ordered lexicographically.
 
     Schema: term: string, uid: long (uid is 1-based).
     """
-    all_terms = (
-        triples_raw.select(F.col("s").alias("term"))
-        .unionByName(triples_raw.select(F.col("p").alias("term")))
-        .unionByName(triples_raw.select(F.col("o").alias("term")))
-        .distinct()
-    )
+    if flags is None:
+        flags = position_flags(triples_raw)
+    all_terms = flags.select("term").distinct()
     with_idx = zip_with_index(all_terms, ["term"], id_col="idx")
     return with_idx.select("term", (F.col("idx") + 1).alias("uid"))
 
 
-def build_dictionary(triples_raw: DataFrame, term_uids: DataFrame) -> DataFrame:
+def build_dictionary(
+    triples_raw: DataFrame, term_uids: DataFrame, flags: DataFrame | None = None
+) -> DataFrame:
     """Per-graph four-section dictionary.
 
     Schema: graph, term, section ∈ {so,s,o,p}, sec_id (HDT ID within the
     section's ID space, 1-based, see module docstring), uid (global).
     """
-    s_terms = triples_raw.select("graph", F.col("s").alias("term")).distinct()
-    o_terms = triples_raw.select("graph", F.col("o").alias("term")).distinct()
-    p_terms = triples_raw.select("graph", F.col("p").alias("term")).distinct()
-
-    so = s_terms.join(o_terms, ["graph", "term"], "left_semi").withColumn("section", F.lit("so"))
-    s_only = s_terms.join(o_terms, ["graph", "term"], "left_anti").withColumn("section", F.lit("s"))
-    o_only = o_terms.join(s_terms, ["graph", "term"], "left_anti").withColumn("section", F.lit("o"))
-    p_sec = p_terms.withColumn("section", F.lit("p"))
-
-    sections = so.unionByName(s_only).unionByName(o_only).unionByName(p_sec)
+    if flags is None:
+        flags = position_flags(triples_raw)
+    spo = flags.where((F.col("is_s") == 1) | (F.col("is_o") == 1)).select(
+        "graph",
+        "term",
+        F.when((F.col("is_s") == 1) & (F.col("is_o") == 1), F.lit("so"))
+        .when(F.col("is_s") == 1, F.lit("s"))
+        .otherwise(F.lit("o"))
+        .alias("section"),
+    )
+    # a term used as predicate AND subject/object gets two dict rows,
+    # one per ID space — exactly HDT's separate P section
+    p_sec = flags.where(F.col("is_p") == 1).select(
+        "graph", "term", F.lit("p").alias("section")
+    )
+    sections = spo.unionByName(p_sec)
     sections = sections.withColumn(
         "sec_ord",
         F.when(F.col("section") == "so", F.lit(0))

@@ -70,11 +70,14 @@ def documents_kg(spark: SparkSession, sf_dir: str) -> KnowledgeGraph:
     key = sf_dir.rstrip("/")
     if key in _KG_CACHE:
         return _KG_CACHE[key]
-    raw = documents_triples(spark, sf_dir)
-    uids = build_term_uids(raw).cache()
+    raw = documents_triples(spark, sf_dir).cache()
+    from de_spark.dictionary import position_flags
+
+    flags = position_flags(raw)
+    uids = build_term_uids(raw, flags).cache()
     kg = KnowledgeGraph(
         term_uids=uids,
-        dict_df=build_dictionary(raw, uids).cache(),
+        dict_df=build_dictionary(raw, uids, flags).cache(),
         triples=encode_triples(raw, uids).cache(),
         stats=void_stats(raw).cache(),
     )

@@ -23,13 +23,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def encode_triples(triples_raw: DataFrame, term_uids: DataFrame) -> DataFrame:
-    """triples_raw (strings) → (graph, s_id, p_id, o_id) uid triples."""
+def encode_triples(
+    triples_raw: DataFrame, term_uids: DataFrame, p_vocab: DataFrame | None = None
+) -> DataFrame:
+    """triples_raw (strings) → (graph, s_id, p_id, o_id) uid triples.
+
+    ``p_vocab`` (a DataFrame with a ``term`` column of the distinct
+    predicate terms) can be supplied by the caller to avoid a rescan —
+    the pipeline derives it from the position-flags aggregation."""
     s_uid = term_uids.select(F.col("term").alias("s"), F.col("uid").alias("s_id"))
     o_uid = term_uids.select(F.col("term").alias("o"), F.col("uid").alias("o_id"))
 
     # predicate vocabulary is tiny: restrict + broadcast
-    p_vocab = triples_raw.select(F.col("p").alias("term")).distinct()
+    if p_vocab is None:
+        p_vocab = triples_raw.select(F.col("p").alias("term")).distinct()
     p_uid = term_uids.join(p_vocab, "term", "left_semi").select(
         F.col("term").alias("p"), F.col("uid").alias("p_id")
     )

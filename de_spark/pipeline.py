@@ -32,17 +32,23 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_spark.dictionary import build_dictionary, build_term_uids
+from de_spark.dictionary import build_dictionary, build_term_uids, position_flags
 from de_spark.encode import encode_triples, sort_spo
 from de_spark.graph import KnowledgeGraph
-from de_spark.stats import void_stats
+from de_spark.stats import void_stats_encoded
 
 
 def _fingerprint(df: DataFrame) -> tuple[int, int]:
-    """(row_count, order-insensitive content checksum) in one pass."""
+    """(row_count, order-insensitive content checksum) in one pass.
+    XOR of xxhash64 over all columns — cheap, JVM-side, deterministic
+    regardless of row order/partitioning, and cannot overflow (sum
+    would under ANSI mode).  Paired with the row count it detects any
+    content change except exact duplicate-row multiplicity swaps."""
     row = df.select(
         F.count("*").alias("n"),
-        F.sum(F.crc32(F.to_json(F.struct(*df.columns)))).alias("chk"),
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + "))"
+        ).alias("chk"),
     ).collect()[0]
     return int(row["n"]), int(row["chk"] or 0)
 
@@ -122,21 +128,26 @@ def build(
     results.append(_write_stage(triples_raw, raw_dir, "extract", resume))
     raw = spark.read.parquet(raw_dir)
 
+    # one term-universe shuffle shared by the uid + dictionary stages
+    flags = position_flags(raw).persist()
+
     uids_dir = f"{out_dir}/term_uids"
-    if not (resume and os.path.exists(_manifest_path(uids_dir))):
-        uids = build_term_uids(raw)
-    else:
-        uids = spark.read.parquet(uids_dir)
-    results.append(_write_stage(uids, uids_dir, "term_uids", resume))
+    done = lambda d: resume and os.path.exists(_manifest_path(d))  # noqa: E731
+    uids_df = spark.read.parquet(uids_dir) if done(uids_dir) else build_term_uids(raw, flags)
+    results.append(_write_stage(uids_df, uids_dir, "term_uids", resume))
     uids = spark.read.parquet(uids_dir)
 
     dict_dir = f"{out_dir}/dict"
-    results.append(_write_stage(build_dictionary(raw, uids) if not (resume and os.path.exists(_manifest_path(dict_dir))) else spark.read.parquet(dict_dir), dict_dir, "dict", resume))
+    dict_df = (
+        spark.read.parquet(dict_dir) if done(dict_dir) else build_dictionary(raw, uids, flags)
+    )
+    results.append(_write_stage(dict_df, dict_dir, "dict", resume))
 
     triples_dir = f"{out_dir}/triples"
+    p_vocab = flags.where(F.col("is_p") == 1).select("term").distinct()
     results.append(
         _write_stage(
-            encode_triples(raw, uids),
+            encode_triples(raw, uids, p_vocab),
             triples_dir,
             "triples",
             resume,
@@ -144,8 +155,10 @@ def build(
             sort=True,
         )
     )
+    flags.unpersist()
 
     stats_dir = f"{out_dir}/stats"
-    results.append(_write_stage(void_stats(raw), stats_dir, "stats", resume))
+    enc = spark.read.parquet(triples_dir)
+    results.append(_write_stage(void_stats_encoded(enc), stats_dir, "stats", resume))
 
     return KnowledgeGraph.load(spark, out_dir), results

@@ -25,3 +25,15 @@ def void_stats(triples_raw: DataFrame) -> DataFrame:
         F.countDistinct("s").alias("distinct_subjects"),
         F.countDistinct("o").alias("distinct_objects"),
     )
+
+
+def void_stats_encoded(triples_enc: DataFrame) -> DataFrame:
+    """Same VOID stats computed over the uid-encoded triples — counts
+    are identical (term↔uid is a bijection) but the countDistinct
+    shuffle moves 8-byte longs instead of term strings."""
+    return triples_enc.groupBy("graph").agg(
+        F.count("*").alias("triples"),
+        F.countDistinct("p_id").alias("properties"),
+        F.countDistinct("s_id").alias("distinct_subjects"),
+        F.countDistinct("o_id").alias("distinct_objects"),
+    )
