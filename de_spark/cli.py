@@ -1,0 +1,110 @@
+"""CLI with the reference's verb surface (src/main.rs:19-62):
+
+  python -m de_spark create -o OUT_DIR -d FILE [FILE...]
+  python -m de_spark query  -d DATA [DATA...] -s QUERY.rq [-o FORMAT]
+  python -m de_spark view   -d OUT_DIR
+
+``create`` materializes a KG store from RDF files (one graph per file,
+like `de query`'s implicit per-file graphs, or --single-graph NAME to
+merge like `de create`).  ``query`` accepts either a materialized
+store dir or raw RDF files (built on the fly — the reference also
+rdf2hdt's raw RDF before querying, src/query.rs:264-297).  ``view``
+prints the VOID stats (src/view.rs:52-55).
+
+The ``serve`` verb (SPARQL-over-HTTP) is intentionally not ported —
+SURVEY.md §7 risk 6.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+from de_spark.session import get_spark
+
+
+def _build_from_files(spark, files, out_dir, single_graph=None):
+    from de_spark.pipeline import build
+    from de_spark.sources import read_rdf
+
+    raw, unhandled = read_rdf(spark, files, single_graph=single_graph)
+    for p in unhandled:
+        print(f"warning: unhandled file type: {p}", file=sys.stderr)
+    return build(raw, out_dir)
+
+
+def cmd_create(args) -> int:
+    spark = get_spark("de_create")
+    kg, stages = _build_from_files(spark, args.data, args.output, args.single_graph)
+    for s in stages:
+        print(f"stage {s.name}: rows={s.rows} wall_ms={s.wall_ms}", file=sys.stderr)
+    return 0
+
+
+def cmd_query(args) -> int:
+    from de_spark.graph import KnowledgeGraph
+    from de_spark.query import results as res
+    from de_spark.query import sparql_select
+
+    spark = get_spark("de_query")
+    import os
+
+    if len(args.data) == 1 and os.path.isdir(args.data[0]):
+        kg = KnowledgeGraph.load(spark, args.data[0])
+    else:
+        tmp = tempfile.mkdtemp(prefix="de_query_")
+        kg, _ = _build_from_files(spark, args.data, tmp)
+
+    for qf in args.query:
+        with open(qf) as f:
+            q = f.read()
+        sols = sparql_select(kg, q)
+        emit = {
+            "csv": res.to_csv,
+            "tsv": res.to_tsv,
+            "json": res.to_json,
+            "xml": res.to_xml,
+        }[args.output]
+        print(emit(sols))
+    return 0
+
+
+def cmd_view(args) -> int:
+    spark = get_spark("de_view")
+    stats = spark.read.parquet(f"{args.data}/stats")
+    for r in stats.orderBy("graph").collect():
+        print(f"graph: {r['graph']}")
+        print(f"  triples: {r['triples']}")
+        print(f"  properties: {r['properties']}")
+        print(f"  distinctSubjects: {r['distinct_subjects']}")
+        print(f"  distinctObjects: {r['distinct_objects']}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="de_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="build a KG store from RDF files")
+    c.add_argument("-o", "--output", required=True)
+    c.add_argument("-d", "--data", nargs="+", required=True)
+    c.add_argument("--single-graph", default=None)
+    c.set_defaults(fn=cmd_create)
+
+    q = sub.add_parser("query", help="run SPARQL over a store dir or RDF files")
+    q.add_argument("-d", "--data", nargs="+", required=True)
+    q.add_argument("-s", "--query", nargs="+", required=True)
+    q.add_argument("-o", "--output", default="csv", choices=["csv", "tsv", "json", "xml"])
+    q.set_defaults(fn=cmd_query)
+
+    v = sub.add_parser("view", help="print VOID stats of a store")
+    v.add_argument("-d", "--data", required=True)
+    v.set_defaults(fn=cmd_view)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -48,7 +48,20 @@ def generate_corpus(spark: SparkSession, sf: float, partitions: int | None = Non
         F.lit("src/mod"), (_mix(fid, 4) % 17).cast("string"),
         F.lit("/file"), fid.cast("string"), F.lit("."), ext,
     )
-    commit = F.sha2(F.concat(repo, F.lit("@"), path), 256).substr(1, 40)
+    # 40-char hex from three xxhash64 mixes — NOT sha2: Spark's sha2
+    # calls MessageDigest.getInstance per row, whose provider lock
+    # serializes all executor threads in a JVM (measured: a pure sha2
+    # map job stops scaling beyond 2 threads).  xxhash64 is codegen'd
+    # and lock-free; for synthetic commit ids any deterministic hex is
+    # equivalent.
+    key = F.concat(repo, F.lit("@"), path)
+    commit = F.lower(
+        F.concat(
+            F.lpad(F.hex(F.xxhash64(key, F.lit(1))), 16, "0"),
+            F.lpad(F.hex(F.xxhash64(key, F.lit(2))), 16, "0"),
+            F.lpad(F.hex(F.xxhash64(key, F.lit(3))), 16, "0"),
+        )
+    ).substr(1, 40)
 
     # Zipf-ish module picks: square a uniform [0,1) to skew toward module 0
     def module_pick(salt: int):
@@ -59,29 +72,29 @@ def generate_corpus(spark: SparkSession, sf: float, partitions: int | None = Non
         # call targets reference other files' functions (dense id space)
         return (_mix(fid, salt) % F.lit(max(n, 1))).cast("long")
 
-    imp = [module_pick(10 + i) for i in range(3)]
-    tgt = [fn_target(20 + i) for i in range(2)]
+    n_imports = 6
+    n_defs = 8
+    imp = [module_pick(10 + i) for i in range(n_imports)]
+    tgt = [fn_target(20 + i) for i in range(n_defs)]
 
-    py_content = F.concat(
-        F.lit('"""module '), path, F.lit('"""\n'),
-        F.lit("import mod_"), imp[0].cast("string"), F.lit("\n"),
-        F.lit("import mod_"), imp[1].cast("string"), F.lit("\n"),
-        F.lit("from mod_"), imp[2].cast("string"), F.lit(" import helper\n\n"),
-        F.lit("def fn_"), fid.cast("string"), F.lit("_0(x):\n    return fn_"),
-        tgt[0].cast("string"), F.lit("_0(x) + helper(x)\n\n"),
-        F.lit("def fn_"), fid.cast("string"), F.lit("_1(y):\n    return fn_"),
-        tgt[1].cast("string"), F.lit("_0(y)\n"),
-    )
-    rs_content = F.concat(
-        F.lit("//! module "), path, F.lit("\n"),
-        F.lit("use mod_"), imp[0].cast("string"), F.lit(";\n"),
-        F.lit("use mod_"), imp[1].cast("string"), F.lit(";\n\n"),
-        F.lit("pub fn fn_"), fid.cast("string"), F.lit("_0(x: i64) -> i64 {\n    fn_"),
-        tgt[0].cast("string"), F.lit("_0(x)\n}\n\n"),
-        F.lit("pub fn fn_"), fid.cast("string"), F.lit("_1(y: i64) -> i64 {\n    fn_"),
-        tgt[1].cast("string"), F.lit("_0(y)\n}\n"),
-    )
-    content = F.when(lang == "python", py_content).otherwise(rs_content)
+    py_parts = [F.lit('"""module '), path, F.lit('"""\n')]
+    rs_parts = [F.lit("//! module "), path, F.lit("\n")]
+    for i in range(n_imports - 1):
+        py_parts += [F.lit("import mod_"), imp[i].cast("string"), F.lit("\n")]
+        rs_parts += [F.lit("use mod_"), imp[i].cast("string"), F.lit(";\n")]
+    py_parts += [F.lit("from mod_"), imp[-1].cast("string"), F.lit(" import helper\n\n")]
+    rs_parts += [F.lit("use mod_"), imp[-1].cast("string"), F.lit(";\n\n")]
+    for k in range(n_defs):
+        fk = fid.cast("string")
+        py_parts += [
+            F.lit(f"def fn_"), fk, F.lit(f"_{k}(x):\n    # body {k}\n    return fn_"),
+            tgt[k].cast("string"), F.lit("_0(x) + helper(x)\n\n"),
+        ]
+        rs_parts += [
+            F.lit("pub fn fn_"), fk, F.lit(f"_{k}(x: i64) -> i64 {{\n    fn_"),
+            tgt[k].cast("string"), F.lit("_0(x)\n}\n\n"),
+        ]
+    content = F.when(lang == "python", F.concat(*py_parts)).otherwise(F.concat(*rs_parts))
 
     return df.select(
         repo.alias("repo"),

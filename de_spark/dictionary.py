@@ -69,8 +69,11 @@ def zip_with_index(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # cache the input: repartitionByRange runs a boundary-sampling pass
+    # that would otherwise re-execute the (often join-heavy) upstream
+    src = df.persist(StorageLevel.MEMORY_AND_DISK)
     ordered = (
-        df.repartitionByRange(num_partitions, *sort_cols)
+        src.repartitionByRange(num_partitions, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -79,6 +82,7 @@ def zip_with_index(
         (r["__pid"], r["cnt"])
         for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
     )
+    src.unpersist()  # ordered is materialized now; the source cache is done
     offsets, acc = {}, 0
     for pid, cnt in counts:
         offsets[pid] = acc

@@ -38,19 +38,20 @@ from de_spark.graph import KnowledgeGraph
 from de_spark.stats import void_stats_encoded
 
 
-def _fingerprint(df: DataFrame) -> tuple[int, int]:
-    """(row_count, order-insensitive content checksum) in one pass.
-    XOR of xxhash64 over all columns — cheap, JVM-side, deterministic
-    regardless of row order/partitioning, and cannot overflow (sum
-    would under ANSI mode).  Paired with the row count it detects any
-    content change except exact duplicate-row multiplicity swaps."""
-    row = df.select(
-        F.count("*").alias("n"),
-        F.expr(
-            "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + "))"
-        ).alias("chk"),
-    ).collect()[0]
-    return int(row["n"]), int(row["chk"] or 0)
+def _lineage_exprs(df: DataFrame):
+    """count + order-insensitive checksum as observe() metrics.
+
+    Checksum = XOR of xxhash64 over all columns — cheap, JVM-side,
+    deterministic regardless of row order/partitioning, and cannot
+    overflow (sum would under ANSI mode).  Paired with the row count it
+    detects any content change except exact duplicate-row multiplicity
+    swaps.  Computed via the observation API DURING the write job —
+    no second pass, no extra action (each extra action costs serial
+    driver planning/codegen time that caps scaling efficiency)."""
+    chk_expr = F.expr(
+        "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + "))"
+    ).alias("chk")
+    return [F.count(F.lit(1)).alias("n"), chk_expr]
 
 
 @dataclass
@@ -80,24 +81,39 @@ def _write_stage(
             m = json.load(f)
         return StageResult(name, stage_dir, m["rows"], m["checksum"], m["wall_ms"], True)
 
+    from pyspark.sql import Observation
+
     t0 = time.monotonic()
-    out = sort_spo(df) if sort else df
+    cached = None
+    if sort:
+        # sort_spo range-shuffles: cache the input so the boundary
+        # sampling pass doesn't re-run the encode joins
+        cached = df.persist()
+        out = sort_spo(cached)
+    else:
+        out = df
+    obs = Observation(f"lineage_{name}")
+    out = out.observe(obs, *_lineage_exprs(out))
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage_dir)
+    if cached is not None:
+        cached.unpersist()
+    metrics = obs.get
+    rows, checksum = int(metrics["n"]), int(metrics["chk"] or 0)
 
-    written = df.sparkSession.read.parquet(stage_dir)
-    rows, checksum = _fingerprint(written)
+    # per-graph partition lineage: one extra pass, only for the
+    # partitioned triples table (the resume/repair unit)
+    per_part = {}
+    if partition_by and "graph" in (partition_by or []):
+        written = df.sparkSession.read.parquet(stage_dir)
+        per_part = {
+            r["graph"]: int(r["n"])
+            for r in written.groupBy("graph").agg(F.count("*").alias("n")).collect()
+        }
     wall_ms = int((time.monotonic() - t0) * 1000)
 
-    # per-partition lineage: row counts by graph when available
-    per_part = {}
-    if "graph" in written.columns:
-        per_part = {
-            r["graph"]: r["cnt"]
-            for r in written.groupBy("graph").agg(F.count("*").alias("cnt")).collect()
-        }
     with open(_manifest_path(stage_dir), "w") as f:
         json.dump(
             {
@@ -105,7 +121,7 @@ def _write_stage(
                 "rows": rows,
                 "checksum": checksum,
                 "wall_ms": wall_ms,
-                "schema": written.schema.simpleString(),
+                "schema": out.schema.simpleString(),
                 "partitions": per_part,
             },
             f,

@@ -40,6 +40,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # shuffle/spill dir: tmpfs by default when available — local-mode
+        # shuffles otherwise serialize on one disk and cap thread scaling
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark_local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         # broadcast threshold: dictionaries' P section and constant-term
         # lookups are tiny; let Catalyst broadcast aggressively.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

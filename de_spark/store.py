@@ -1,0 +1,117 @@
+"""Whole-graph add/drop on a materialized KG store.
+
+Mirrors the reference's mutation surface exactly (SURVEY.md §2.11):
+HDT graphs are immutable — the server forbids DELETE DATA /
+DELETE-INSERT (src/serve.rs:880-890) and only allows inserting into
+NEW named graphs (src/serve.rs:818-849) and dropping whole graphs
+(src/serve.rs:892-960, file removal src/sparql.rs:177-221).
+
+Spark/Iceberg realization: the triples/dict/stats tables are
+partitioned by graph, so
+
+- ``add_graph``   = append the new graph's partitions + extend the
+  global term-uid table with only the NEW terms (uids continue after
+  the current max, assigned in term order — existing uids never
+  change, so existing encoded triples stay valid);
+- ``drop_graph``  = drop the graph's partitions (dynamic partition
+  overwrite semantics; stale uids for terms that only occurred in the
+  dropped graph are harmless, like the reference's leftover side-car
+  cache files, and are compacted away by a rebuild).
+
+On Iceberg these appends/drops are snapshot commits
+(``overwritePartitions``), giving the reference's per-request snapshot
+semantics (AggregateHdt::get_snapshot, src/sparql.rs:78-118) as
+time-travel.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_spark.dictionary import build_dictionary, position_flags, zip_with_index
+from de_spark.encode import encode_triples, sort_spo
+from de_spark.graph import KnowledgeGraph
+from de_spark.stats import void_stats
+
+
+class GraphExistsError(ValueError):
+    """Reference behavior: inserting into an existing graph is refused
+    (src/serve.rs:818-849)."""
+
+
+def _graphs(spark: SparkSession, base_dir: str) -> set[str]:
+    return {
+        r["graph"]
+        for r in spark.read.parquet(f"{base_dir}/stats").select("graph").collect()
+    }
+
+
+def add_graph(spark: SparkSession, base_dir: str, triples_raw: DataFrame) -> None:
+    """Append new named graph(s) to a materialized store.
+
+    Every graph in ``triples_raw`` must be new (GraphExistsError
+    otherwise).  One pass extends term_uids with unseen terms; the new
+    partitions are appended to triples/dict/stats.
+    """
+    new_graphs = {r["graph"] for r in triples_raw.select("graph").distinct().collect()}
+    existing = _graphs(spark, base_dir)
+    clash = new_graphs & existing
+    if clash:
+        raise GraphExistsError(f"graphs already exist (immutable): {sorted(clash)}")
+
+    uids = spark.read.parquet(f"{base_dir}/term_uids")
+    max_uid = uids.agg(F.max("uid").alias("m")).collect()[0]["m"] or 0
+
+    flags = position_flags(triples_raw).persist()
+    new_terms = flags.select("term").distinct().join(uids, "term", "left_anti")
+    appended = zip_with_index(new_terms, ["term"], id_col="idx").select(
+        "term", (F.col("idx") + 1 + F.lit(max_uid)).cast("long").alias("uid")
+    )
+    appended.write.mode("append").parquet(f"{base_dir}/term_uids")
+    all_uids = spark.read.parquet(f"{base_dir}/term_uids")
+
+    build_dictionary(triples_raw, all_uids, flags).write.mode("append").parquet(
+        f"{base_dir}/dict"
+    )
+    p_vocab = flags.where(F.col("is_p") == 1).select("term").distinct()
+    sort_spo(encode_triples(triples_raw, all_uids, p_vocab)).write.mode(
+        "append"
+    ).partitionBy("graph").parquet(f"{base_dir}/triples")
+    void_stats(triples_raw).write.mode("append").parquet(f"{base_dir}/stats")
+    flags.unpersist()
+
+
+def drop_graph(spark: SparkSession, base_dir: str, graph: str) -> bool:
+    """Remove a named graph (whole-graph drop, src/sparql.rs:177-221).
+
+    Returns False if the graph is not registered.  With Iceberg this is
+    one ``DELETE WHERE graph = …`` snapshot commit; on the parquet
+    layout it rewrites the unaffected partitions of the unpartitioned
+    tables and drops the graph's partition dir from triples.
+    """
+    if graph not in _graphs(spark, base_dir):
+        return False
+    # triples: partitioned by graph → drop the partition directory
+    # (match by unescaping the dir names — Spark's partition-path
+    # escaping is not exactly urllib's quote)
+    import os
+    from urllib.parse import unquote
+
+    tdir = f"{base_dir}/triples"
+    for d in os.listdir(tdir):
+        if d.startswith("graph=") and unquote(d[len("graph="):]) == graph:
+            shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+    # dict/stats: rewrite without the graph (small tables)
+    for table in ("dict", "stats"):
+        df = spark.read.parquet(f"{base_dir}/{table}").where(F.col("graph") != graph)
+        df.cache().count()
+        df.write.mode("overwrite").parquet(f"{base_dir}/{table}")
+        df.unpersist()
+    return True
+
+
+def load(spark: SparkSession, base_dir: str) -> KnowledgeGraph:
+    return KnowledgeGraph.load(spark, base_dir)

@@ -46,11 +46,11 @@ def test_extract_triples(spark):
     assert len(by_p[CODE + "sha256"]) == n_files
     assert len(by_p[CODE + "lang"]) == n_files
     assert len(by_p[CODE + "inRepo"]) == n_files
-    # every file declares 2-3 imports (rust template has 2, python 3)
-    assert len(by_p[CODE + "imports"]) >= 2 * n_files
-    # 2 functions per file, each with one call edge
-    assert len(by_p[CODE + "definedIn"]) == 2 * n_files
-    assert len(by_p[CODE + "calls"]) == 2 * n_files
+    # every file declares 6 imports (5 import + 1 from / 6 use lines)
+    assert len(by_p[CODE + "imports"]) == 6 * n_files
+    # 8 functions per file, each with one call edge
+    assert len(by_p[CODE + "definedIn"]) == 8 * n_files
+    assert len(by_p[CODE + "calls"]) == 8 * n_files
     # rdf:type is the hub predicate: repos + files + functions
     assert len(by_p[RDF_TYPE]) > 3 * n_files
 

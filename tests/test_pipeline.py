@@ -1,0 +1,55 @@
+"""Checkpoint/resume semantics (north_rule: killed job resumes from
+the last completed stage)."""
+
+import json
+import os
+
+from de_spark.pipeline import build
+from de_spark.sources.nt import triples_from_nt_text
+from tests.fixtures import BANANA_NT
+
+
+def test_build_writes_manifests_and_resumes(spark, tmp_path):
+    out = str(tmp_path / "kg")
+    raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt")
+    kg, stages = build(raw, out)
+    assert [s.name for s in stages] == ["extract", "term_uids", "dict", "triples", "stats"]
+    assert all(not s.skipped for s in stages)
+
+    # manifests carry lineage: rows, checksum, per-graph counts, wall
+    m = json.load(open(os.path.join(out, "triples", "_manifest.json")))
+    assert m["rows"] == 12
+    assert m["partitions"] == {"file:///banana.hdt": 12}
+    assert isinstance(m["checksum"], int) and m["wall_ms"] >= 0
+
+    # resume: all stages skip, results identical
+    kg2, stages2 = build(raw, out, resume=True)
+    assert all(s.skipped for s in stages2)
+    assert [s.rows for s in stages2] == [s.rows for s in stages]
+    assert kg2.triples.count() == 12
+
+    # partial resume: kill the last two stages → only they re-run
+    os.remove(os.path.join(out, "triples", "_manifest.json"))
+    os.remove(os.path.join(out, "stats", "_manifest.json"))
+    kg3, stages3 = build(raw, out, resume=True)
+    skipped = {s.name: s.skipped for s in stages3}
+    assert skipped == {
+        "extract": True,
+        "term_uids": True,
+        "dict": True,
+        "triples": False,
+        "stats": False,
+    }
+    assert kg3.triples.count() == 12
+
+
+def test_checksum_is_partitioning_invariant(spark, tmp_path):
+    raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt")
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build(raw.repartition(1), a)
+    build(raw.repartition(7), b)
+    for stage in ("triples_raw", "term_uids", "dict", "triples", "stats"):
+        ma = json.load(open(os.path.join(a, stage, "_manifest.json")))
+        mb = json.load(open(os.path.join(b, stage, "_manifest.json")))
+        assert (ma["rows"], ma["checksum"]) == (mb["rows"], mb["checksum"]), stage

@@ -1,0 +1,92 @@
+"""Whole-graph add/drop semantics (reference src/serve.rs:818-960) and
+the CLI verb surface."""
+
+import pytest
+
+from de_spark import store
+from de_spark.pipeline import build
+from de_spark.query import sparql_select, to_csv
+from de_spark.sources.nt import triples_from_nt_text
+from de_spark.sources.turtle import parse_turtle
+from de_spark import terms
+from tests.fixtures import BANANA_NT, PINEAPPLE_TTL, QUERY_COLOR_RQ
+
+
+def _pineapple_raw(spark):
+    data = [
+        (s, p, o, terms.classify_py(o), "file:///pineapple.hdt")
+        for s, p, o in parse_turtle(PINEAPPLE_TTL)
+    ]
+    return spark.createDataFrame(data, ["s", "p", "o", "o_kind", "graph"])
+
+
+def test_add_and_drop_graph(spark, tmp_path):
+    base = str(tmp_path / "store")
+    raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt")
+    build(raw, base)
+
+    kg = store.load(spark, base)
+    assert to_csv(sparql_select(kg, QUERY_COLOR_RQ)).splitlines()[1:] == [
+        "http://example.org/Banana"
+    ]
+
+    # add a NEW graph → union answers both
+    store.add_graph(spark, base, _pineapple_raw(spark))
+    kg = store.load(spark, base)
+    out = to_csv(sparql_select(kg, QUERY_COLOR_RQ)).replace("\r", "").splitlines()
+    assert out[1:] == ["http://example.org/Pineapple", "http://example.org/Banana"]
+
+    # uid invariants after append: dense, unique, old uids unchanged
+    uids = {r["term"]: r["uid"] for r in kg.term_uids.collect()}
+    vals = sorted(uids.values())
+    assert vals == list(range(1, len(vals) + 1))
+
+    # encoded triples still decode to the exact union triple set
+    from de_spark.encode import decode_triples
+
+    decoded = {
+        (r["s"], r["p"], r["o"]) for r in decode_triples(kg.triples, kg.term_uids).collect()
+    }
+    expected = {(r["s"], r["p"], r["o"]) for r in raw.collect()} | {
+        (r["s"], r["p"], r["o"]) for r in _pineapple_raw(spark).collect()
+    }
+    assert decoded == expected
+
+    # inserting into an existing graph is refused (immutability)
+    with pytest.raises(store.GraphExistsError):
+        store.add_graph(spark, base, _pineapple_raw(spark))
+
+    # drop → back to banana only
+    assert store.drop_graph(spark, base, "file:///pineapple.hdt") is True
+    kg = store.load(spark, base)
+    out = to_csv(sparql_select(kg, QUERY_COLOR_RQ)).replace("\r", "").splitlines()
+    assert out[1:] == ["http://example.org/Banana"]
+    assert store.drop_graph(spark, base, "file:///nope.hdt") is False
+
+
+def test_cli_create_view_query(spark, tmp_path, capsys):
+    import os
+
+    from de_spark import cli
+
+    rdf_dir = tmp_path / "rdf"
+    os.makedirs(rdf_dir)
+    (rdf_dir / "banana.nt").write_text(BANANA_NT)
+    (rdf_dir / "pineapple.ttl").write_text(PINEAPPLE_TTL)
+    (rdf_dir / "q.rq").write_text(QUERY_COLOR_RQ)
+    out_dir = str(tmp_path / "kg")
+
+    assert cli.main(["create", "-o", out_dir, "-d", str(rdf_dir / "banana.nt"), str(rdf_dir / "pineapple.ttl")]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["view", "-d", out_dir]) == 0
+    view_out = capsys.readouterr().out
+    assert "triples: 12" in view_out and "graph: file:///banana.nt" in view_out
+
+    assert cli.main(["query", "-d", out_dir, "-s", str(rdf_dir / "q.rq"), "-o", "csv"]) == 0
+    q_out = capsys.readouterr().out.replace("\r", "").strip()
+    assert q_out.splitlines() == [
+        "fruit",
+        "http://example.org/Pineapple",
+        "http://example.org/Banana",
+    ]
