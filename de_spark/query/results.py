@@ -39,6 +39,8 @@ def to_csv(solutions: DataFrame) -> str:
             t = row[c]
             if t is None:
                 vals.append("")
+            elif not isinstance(t, str):
+                vals.append(str(t))
             elif t.startswith('"'):
                 v, _, _ = terms.literal_parts_py(t)
                 # RFC4180 quoting when needed
@@ -60,6 +62,8 @@ def to_tsv(solutions: DataFrame) -> str:
             t = row[c]
             if t is None:
                 vals.append("")
+            elif not isinstance(t, str):
+                vals.append(f'"{t}"')
             elif t.startswith('"') or t.startswith("_"):
                 vals.append(t)
             else:
@@ -68,7 +72,10 @@ def to_tsv(solutions: DataFrame) -> str:
     return "\n".join(lines)
 
 
-def _json_term(t: str) -> dict:
+def _json_term(t) -> dict:
+    if not isinstance(t, str):
+        # aggregate result (numeric) — a plain literal in SPARQL terms
+        return {"type": "literal", "value": str(t)}
     kind = terms.classify_py(t)
     if kind == terms.KIND_IRI:
         return {"type": "uri", "value": t}
@@ -113,6 +120,9 @@ def to_xml(solutions: DataFrame) -> str:
         for c in cols:
             t = row[c]
             if t is None:
+                continue
+            if not isinstance(t, str):
+                parts.append(f'<binding name="{c}"><literal>{t}</literal></binding>')
                 continue
             kind = terms.classify_py(t)
             if kind == terms.KIND_IRI:

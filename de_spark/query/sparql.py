@@ -30,6 +30,14 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
 @dataclass
+class Aggregate:
+    func: str          # count | sum | avg | min | max | sample | group_concat
+    var: str           # source var name or '*'
+    alias: str
+    distinct: bool = False
+
+
+@dataclass
 class SelectQuery:
     variables: list[str]          # projected var names, [] ⇒ all (SELECT *)
     patterns: list[TriplePattern]
@@ -41,6 +49,8 @@ class SelectQuery:
     limit: int | None = None
     offset: int | None = None
     ask: bool = False
+    aggregates: list[Aggregate] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
 
 
 _PREFIX_RE = re.compile(r"PREFIX\s+([\w-]*):\s*<([^>]*)>", re.I)
@@ -153,7 +163,24 @@ def parse_sparql(query: str) -> SelectQuery:
     ask = m.group(1).upper() == "ASK"
     distinct = bool(m.group(2))
     proj = m.group(3).strip()
-    variables = [] if (ask or proj == "*" or not proj) else re.findall(r"\?(\w+)", proj)
+
+    # aggregate projections: (AGG([DISTINCT] ?v|*) AS ?alias)
+    aggregates: list[Aggregate] = []
+    agg_re = re.compile(
+        r"\(\s*(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)",
+        re.I,
+    )
+    for am in agg_re.finditer(proj):
+        aggregates.append(
+            Aggregate(
+                func=am.group(1).lower(),
+                var=am.group(3).lstrip("?"),
+                alias=am.group(4),
+                distinct=bool(am.group(2)),
+            )
+        )
+    proj_wo_aggs = agg_re.sub(" ", proj)
+    variables = [] if (ask or proj == "*" or not proj) else re.findall(r"\?(\w+)", proj_wo_aggs)
 
     # WHERE body: between the first '{' and its matching '}'
     start = m.end() - 1
@@ -233,6 +260,8 @@ def parse_sparql(query: str) -> SelectQuery:
                 order_by.append((it.group(2), it.group(1).upper() == "DESC"))
     lm = _LIMIT_RE.search(tail)
     fm = _OFFSET_RE.search(tail)
+    gm = re.search(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", tail, re.I)
+    group_by = re.findall(r"\?(\w+)", gm.group(1)) if gm else []
 
     return SelectQuery(
         variables=variables,
@@ -245,6 +274,8 @@ def parse_sparql(query: str) -> SelectQuery:
         limit=int(lm.group(1)) if lm else None,
         offset=int(fm.group(1)) if fm else None,
         ask=ask,
+        aggregates=aggregates,
+        group_by=group_by,
     )
 
 
@@ -336,8 +367,38 @@ def execute(kg: KnowledgeGraph, q: SelectQuery) -> DataFrame:
     for f in q.filters:
         decoded = decoded.where(_filter_to_column(f))
 
-    proj = q.variables or var_cols
-    decoded = decoded.select(*proj)
+    if q.aggregates:
+        aggs = []
+        for a in q.aggregates:
+            if a.func == "count":
+                if a.var == "*":
+                    aggs.append(F.count(F.lit(1)).alias(a.alias))
+                elif a.distinct:
+                    aggs.append(F.countDistinct(a.var).alias(a.alias))
+                else:
+                    aggs.append(F.count(a.var).alias(a.alias))
+                continue
+            # numeric aggregates operate on the literal's lexical value
+            col = terms.literal_value(F.col(a.var)).cast("double")
+            if a.func == "sum":
+                aggs.append(F.sum(col).alias(a.alias))
+            elif a.func == "avg":
+                aggs.append(F.avg(col).alias(a.alias))
+            elif a.func == "min":
+                aggs.append(F.min(col).alias(a.alias))
+            elif a.func == "max":
+                aggs.append(F.max(col).alias(a.alias))
+            elif a.func == "sample":
+                aggs.append(F.first(F.col(a.var)).alias(a.alias))
+            elif a.func == "group_concat":
+                aggs.append(F.concat_ws(" ", F.collect_list(F.col(a.var))).alias(a.alias))
+        grouped = decoded.groupBy(*q.group_by) if q.group_by else decoded.groupBy()
+        decoded = grouped.agg(*aggs)
+        proj = (q.variables or q.group_by) + [a.alias for a in q.aggregates]
+        decoded = decoded.select(*proj)
+    else:
+        proj = q.variables or var_cols
+        decoded = decoded.select(*proj)
 
     if q.distinct:
         decoded = decoded.dropDuplicates()

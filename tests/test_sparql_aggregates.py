@@ -1,0 +1,54 @@
+"""SPARQL-level aggregates (A2): GROUP BY + COUNT/SUM/AVG/MIN/MAX."""
+
+import pytest
+
+from de_spark.pipeline import build
+from de_spark.query import sparql_select, to_csv
+from de_spark.sources.nt import triples_from_nt_text
+
+NT = """\
+<http://x/s1> <http://x/kind> <http://x/A> .
+<http://x/s1> <http://x/val> "10"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://x/s2> <http://x/kind> <http://x/A> .
+<http://x/s2> <http://x/val> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://x/s3> <http://x/kind> <http://x/B> .
+<http://x/s3> <http://x/val> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+"""
+
+
+@pytest.fixture(scope="module")
+def kg(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("agg_kg"))
+    kg, _ = build(triples_from_nt_text(spark, NT, "file:///agg.nt"), out)
+    return kg
+
+
+def test_count_star(kg):
+    df = sparql_select(kg, "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")
+    assert df.collect()[0]["n"] == 6
+
+
+def test_group_by_count(kg):
+    q = """
+    PREFIX x: <http://x/>
+    SELECT ?k (COUNT(?s) AS ?n) WHERE { ?s x:kind ?k } GROUP BY ?k ORDER BY ?k
+    """
+    rows = sparql_select(kg, q).collect()
+    assert [(r["k"], r["n"]) for r in rows] == [("http://x/A", 2), ("http://x/B", 1)]
+
+
+def test_group_by_sum_avg_min_max(kg):
+    q = """
+    PREFIX x: <http://x/>
+    SELECT ?k (SUM(?v) AS ?total) (AVG(?v) AS ?mean) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi)
+    WHERE { ?s x:kind ?k . ?s x:val ?v } GROUP BY ?k ORDER BY ?k
+    """
+    rows = sparql_select(kg, q).collect()
+    a, b = rows
+    assert (a["k"], a["total"], a["mean"], a["lo"], a["hi"]) == ("http://x/A", 40.0, 20.0, 10.0, 30.0)
+    assert (b["k"], b["total"]) == ("http://x/B", 5.0)
+
+
+def test_aggregate_csv_emission(kg):
+    df = sparql_select(kg, "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")
+    assert to_csv(df).replace("\r", "").strip() == "n\n6"
