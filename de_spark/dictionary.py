@@ -64,7 +64,6 @@ def zip_with_index(
     IDs depend only on the global sort order, not partition placement.
     """
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
     spark = df.sparkSession
     if num_partitions is None:
@@ -72,31 +71,41 @@ def zip_with_index(
     # cache the input: repartitionByRange runs a boundary-sampling pass
     # that would otherwise re-execute the (often join-heavy) upstream
     src = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # monotonically_increasing_id is assigned in row order within each
+    # partition (partition id in the upper bits) — over the persisted,
+    # range-sorted frame it encodes (pid, local position) with NO
+    # window and NO further exchange.  One tiny agg (a row per
+    # partition) recovers per-partition minima + counts; the global
+    # index is then pure map-side arithmetic.  The earlier
+    # window-partitionBy(pid) formulation silently re-shuffled the
+    # whole frame by pid hash.
     ordered = (
         src.repartitionByRange(num_partitions, *sort_cols)
         .sortWithinPartitions(*sort_cols)
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    pid = F.shiftrightunsigned(F.col("__mid"), 33)
+    part_stats = sorted(
+        (int(r["pid"]), int(r["cnt"]), int(r["mn"]))
+        for r in ordered.groupBy(pid.alias("pid"))
+        .agg(F.count("*").alias("cnt"), F.min("__mid").alias("mn"))
+        .collect()
     )
     src.unpersist()  # ordered is materialized now; the source cache is done
-    offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
+    offsets: dict[int, int] = {}
+    mins: dict[int, int] = {}
+    acc = 0
+    for p, cnt, mn in part_stats:
+        offsets[p] = acc
+        mins[p] = mn
         acc += cnt
-    offset_col = F.coalesce(
-        *([F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[F.col("__pid")]]
-          if offsets else [F.lit(0)]),
-        F.lit(0),
-    ).cast("long")
-    w = Window.partitionBy("__pid").orderBy(*sort_cols)
-    out = ordered.withColumn(
-        id_col, (offset_col + F.row_number().over(w) - 1).cast("long")
-    ).drop("__pid")
-    return out
+    if not part_stats:
+        return df.withColumn(id_col, F.lit(0).cast("long"))
+    off_map = F.create_map(*[F.lit(x) for p in offsets for x in (p, offsets[p])])
+    min_map = F.create_map(*[F.lit(x) for p in mins for x in (p, mins[p])])
+    idx = (off_map[pid] + (F.col("__mid") - min_map[pid])).cast("long")
+    return ordered.withColumn(id_col, idx).drop("__mid")
 
 
 def position_flags(triples_raw: DataFrame) -> DataFrame:
