@@ -32,8 +32,14 @@ from de_spark.session import get_spark
 
 
 def bench_kg_build(spark, sf: float) -> dict:
-    """End-to-end KG construction throughput on the synthetic corpus."""
-    out_dir = tempfile.mkdtemp(prefix="de_bench_kg_")
+    """End-to-end KG construction throughput on the synthetic corpus,
+    plus BGP query latency against the freshly built KG."""
+    from de_spark.extract import CODE, ENT, RDF_TYPE
+    from de_spark.query.bgp import TriplePattern, compile_bgp
+
+    out_dir = tempfile.mkdtemp(
+        prefix="de_bench_kg_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
     try:
         t0 = time.monotonic()
         corpus = generate_corpus(spark, sf)
@@ -41,12 +47,41 @@ def bench_kg_build(spark, sf: float) -> dict:
         kg, stages = build(raw, out_dir)
         n_triples = kg.triples.count()
         wall = time.monotonic() - t0
+
+        # 2-pattern BGP on the hub predicate (imports mod_0 ∧ type File)
+        t1 = time.monotonic()
+        q_hub = compile_bgp(
+            kg,
+            [
+                TriplePattern("?f", CODE + "imports", ENT + "module/mod_0"),
+                TriplePattern("?f", RDF_TYPE, CODE + "File"),
+            ],
+        )
+        hub_rows = q_hub.count()
+        bgp_hub_sec = round(time.monotonic() - t1, 3)
+
+        # 2-hop call chain (self-join on the calls edge)
+        t2 = time.monotonic()
+        q_chain = compile_bgp(
+            kg,
+            [
+                TriplePattern("?a", CODE + "calls", "?b"),
+                TriplePattern("?b", CODE + "calls", "?c"),
+            ],
+        )
+        chain_rows = q_chain.count()
+        bgp_chain_sec = round(time.monotonic() - t2, 3)
+
         return {
             "sf": sf,
             "triples": n_triples,
             "wall_sec": round(wall, 3),
             "triples_per_sec": round(n_triples / wall, 1),
             "stages": {s.name: s.wall_ms for s in stages},
+            "bgp_hub_sec": bgp_hub_sec,
+            "bgp_hub_rows": hub_rows,
+            "bgp_2hop_sec": bgp_chain_sec,
+            "bgp_2hop_rows": chain_rows,
         }
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
