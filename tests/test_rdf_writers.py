@@ -1,0 +1,40 @@
+import glob
+
+from de_spark.sources.nt import triples_from_nt_text
+from de_spark.sources.rdf_writers import render_nquads, render_turtle_lines, write_rdf
+from de_spark.sources.turtle import parse_turtle
+from tests.fixtures import BANANA_NT
+
+
+def _read_lines(path):
+    out = []
+    for f in glob.glob(f"{path}/part-*"):
+        out += open(f).read().splitlines()
+    return out
+
+
+def test_ntriples_roundtrip(spark, tmp_path):
+    raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt")
+    out = str(tmp_path / "nt_out")
+    write_rdf(raw, out, "nt")
+    lines = _read_lines(out)
+    # re-parse what we wrote: identical triple set
+    back = triples_from_nt_text(spark, "\n".join(lines), "g")
+    orig = {(r["s"], r["p"], r["o"]) for r in raw.collect()}
+    got = {(r["s"], r["p"], r["o"]) for r in back.collect()}
+    assert got == orig
+
+
+def test_nquads_has_graph_term(spark):
+    raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt")
+    line = render_nquads(raw).limit(1).collect()[0]["line"]
+    assert line.endswith("<file:///banana.hdt> .")
+
+
+def test_turtle_grouping_parses_back(spark):
+    raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt")
+    lines = [r["line"] for r in render_turtle_lines(raw).collect()]
+    assert len(lines) == 2  # one statement per subject
+    triples = parse_turtle("\n".join(lines))
+    orig = {(r["s"], r["p"], r["o"]) for r in raw.collect()}
+    assert set(triples) == orig
