@@ -422,3 +422,55 @@ def sparql_select(kg: KnowledgeGraph, query: str) -> DataFrame:
         has = result.limit(1).count() > 0
         return spark.createDataFrame([(has,)], ["bool"])
     return result
+
+
+_CONSTRUCT_RE = re.compile(r"CONSTRUCT\s*\{", re.I)
+
+
+def sparql_construct(kg: KnowledgeGraph, query: str) -> DataFrame:
+    """CONSTRUCT { template } WHERE { BGP … } → (s, p, o) string triples.
+
+    The reference gets CONSTRUCT from oxigraph and serializes via
+    oxrdfio (src/query.rs:155-175); here the template is instantiated
+    per solution with a select per template triple + union + distinct
+    (CONSTRUCT produces a graph, i.e. a triple SET).
+    """
+    m = _CONSTRUCT_RE.search(query)
+    if not m:
+        raise ValueError("not a CONSTRUCT query")
+    # template block: first {...} after CONSTRUCT
+    start = m.end() - 1
+    depth = 0
+    end = start
+    for i in range(start, len(query)):
+        if query[i] == "{":
+            depth += 1
+        elif query[i] == "}":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    template_text = query[start + 1 : end]
+    q = _strip_comments(query)
+    prefixes = {pm.group(1): pm.group(2) for pm in _PREFIX_RE.finditer(q)}
+    template = _parse_bgp(_strip_comments(template_text), prefixes)
+
+    # rewrite as a SELECT * over the WHERE clause
+    select_query = "\n".join(
+        pm.group(0) for pm in _PREFIX_RE.finditer(query)
+    ) + "\nSELECT * " + query[end + 1 :]
+    sols = sparql_select(kg, select_query)
+
+    parts = []
+    for t in template:
+        cols = []
+        for pos_name, term in (("s", t.s), ("p", t.p), ("o", t.o)):
+            if term.startswith("?"):
+                cols.append(F.col(term[1:]).alias(pos_name))
+            else:
+                cols.append(F.lit(term).alias(pos_name))
+        parts.append(sols.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates()

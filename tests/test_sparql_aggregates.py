@@ -52,3 +52,19 @@ def test_group_by_sum_avg_min_max(kg):
 def test_aggregate_csv_emission(kg):
     df = sparql_select(kg, "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")
     assert to_csv(df).replace("\r", "").strip() == "n\n6"
+
+
+def test_construct(kg):
+    from de_spark.query.sparql import sparql_construct
+
+    q = """
+    PREFIX x: <http://x/>
+    CONSTRUCT { ?s x:classifiedAs ?k }
+    WHERE { ?s x:kind ?k }
+    """
+    rows = {(r["s"], r["p"], r["o"]) for r in sparql_construct(kg, q).collect()}
+    assert rows == {
+        ("http://x/s1", "http://x/classifiedAs", "http://x/A"),
+        ("http://x/s2", "http://x/classifiedAs", "http://x/A"),
+        ("http://x/s3", "http://x/classifiedAs", "http://x/B"),
+    }
