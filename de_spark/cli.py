@@ -56,9 +56,22 @@ def cmd_query(args) -> int:
         tmp = tempfile.mkdtemp(prefix="de_query_")
         kg, _ = _build_from_files(spark, args.data, tmp)
 
+    import re as _re
+
+    from de_spark.query.sparql import sparql_construct
+    from de_spark.sources.rdf_writers import render_ntriples
+    from pyspark.sql import functions as F
+
     for qf in args.query:
         with open(qf) as f:
             q = f.read()
+        if _re.search(r"\bCONSTRUCT\b", q, _re.I):
+            # CONSTRUCT → RDF graph output (NTriples lines), like
+            # the reference's graph-format routing (src/query.rs:155)
+            g = sparql_construct(kg, q)
+            for r in render_ntriples(g).toLocalIterator():
+                print(r["line"])
+            continue
         sols = sparql_select(kg, q)
         emit = {
             "csv": res.to_csv,

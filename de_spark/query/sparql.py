@@ -286,6 +286,10 @@ def parse_sparql(query: str) -> SelectQuery:
 _CMP_RE = re.compile(r'^\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*(.+?)\s*$')
 _REGEX_RE = re.compile(r'^\s*REGEX\s*\(\s*\?(\w+)\s*,\s*"((?:[^"\\]|\\.)*)"\s*(?:,\s*"([a-z]*)")?\s*\)\s*$', re.I)
 _BOUND_RE = re.compile(r"^\s*(!)?\s*BOUND\s*\(\s*\?(\w+)\s*\)\s*$", re.I)
+_ISKIND_RE = re.compile(r"^\s*(!)?\s*(isIRI|isURI|isLiteral|isBlank)\s*\(\s*\?(\w+)\s*\)\s*$", re.I)
+_FN_CMP_RE = re.compile(
+    r'^\s*(LANG|DATATYPE|STR)\s*\(\s*\?(\w+)\s*\)\s*(=|!=)\s*(.+?)\s*$', re.I
+)
 
 
 def _filter_to_column(expr: str, prefixes: dict[str, str] | None = None):
@@ -304,6 +308,32 @@ def _filter_to_column(expr: str, prefixes: dict[str, str] | None = None):
     if m:
         c = F.col(m.group(2)).isNotNull()
         return ~c if m.group(1) else c
+    m = _ISKIND_RE.match(expr)
+    if m:
+        kind = {
+            "isiri": terms.KIND_IRI,
+            "isuri": terms.KIND_IRI,
+            "isliteral": terms.KIND_LITERAL,
+            "isblank": terms.KIND_BNODE,
+        }[m.group(2).lower()]
+        c = terms.classify(F.col(m.group(3))) == kind
+        return ~c if m.group(1) else c
+    m = _FN_CMP_RE.match(expr)
+    if m:
+        fn, var, op, rhs = m.group(1).lower(), m.group(2), m.group(3), m.group(4).strip()
+        lhs = {
+            "lang": terms.literal_lang(F.col(var)),
+            "datatype": terms.literal_datatype(F.col(var)),
+            "str": terms.sparql_csv_form(F.col(var)),
+        }[fn]
+        if rhs.startswith('"'):
+            rv = re.match(r'^"((?:[^"\\]|\\.)*)"', rhs).group(1)
+        elif rhs.startswith("<"):
+            rv = rhs[1:-1]
+        else:
+            rv = rhs
+        c = lhs == F.lit(rv)
+        return c if op == "=" else ~c
     m = _CMP_RE.match(expr)
     if m:
         var, op, rhs = m.groups()

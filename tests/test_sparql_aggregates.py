@@ -68,3 +68,24 @@ def test_construct(kg):
         ("http://x/s2", "http://x/classifiedAs", "http://x/A"),
         ("http://x/s3", "http://x/classifiedAs", "http://x/B"),
     }
+
+
+def test_filter_term_functions(kg):
+    q = """
+    PREFIX x: <http://x/>
+    SELECT ?s ?o WHERE { ?s ?p ?o . FILTER(isLiteral(?o)) }
+    """
+    rows = sparql_select(kg, q).collect()
+    assert len(rows) == 3 and all(r["o"].startswith('"') for r in rows)
+
+    q2 = """
+    PREFIX x: <http://x/>
+    SELECT ?s WHERE {
+      ?s x:val ?v .
+      FILTER(DATATYPE(?v) = <http://www.w3.org/2001/XMLSchema#integer>)
+    }
+    """
+    assert sparql_select(kg, q2).count() == 3
+
+    q3 = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(isIRI(?o)) }'
+    assert sparql_select(kg, q3).count() == 3
