@@ -139,6 +139,98 @@ def hyperplane_lsh_topk(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """IVF index: k-means-lite centroids + per-vector list assignment.
+
+    Centroids start from a deterministic sample (every (n/k)-th vector
+    by id order) and refine with ``iters`` Lloyd rounds — each round is
+    one groupBy-mean over the assignments (map-side partial means, one
+    shuffle of k×dim doubles).  Returns (centroids, assigned) where
+    assigned = (vec_id, embedding, list_id).
+
+    Scale path: at 100 TB the assignment pass is a scan (centroids
+    broadcast as literals) and queries touch only n_probe/n_lists of
+    the data.
+    """
+    v = F.col(vec_col).cast("array<double>")
+
+    n = embeddings.count()
+    step = max(n // n_lists, 1)
+    seeds = (
+        embeddings.where((F.col(id_col) % step == 0))
+        .orderBy(id_col)
+        .limit(n_lists)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        best_id = F.lit(0)
+        best_dot = _cosine(v, F.array(*[F.lit(x) for x in cents[0]]))
+        for i, c in enumerate(cents[1:], start=1):
+            d = _cosine(v, F.array(*[F.lit(x) for x in c]))
+            better = d > best_dot
+            best_id = F.when(better, F.lit(i)).otherwise(best_id)
+            best_dot = F.when(better, d).otherwise(best_dot)
+        return embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            best_id.cast("int").alias("list_id"),
+        )
+
+    assigned = assign(centroids)
+    for _ in range(iters):
+        dim = len(centroids[0])
+        means = (
+            assigned.select(
+                "list_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+            .groupBy("list_id")
+            .agg(*[F.avg(F.element_at("e", i + 1)).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        new_cents = list(centroids)
+        for r in means:
+            new_cents[r["list_id"]] = [float(r[f"c{i}"]) for i in range(dim)]
+        centroids = new_cents
+        assigned = assign(centroids)
+    return centroids, assigned
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF: score only the n_probe lists whose
+    centroids are closest to the query."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    scores = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        scores.append((sum(a * b for a, b in zip(query_vec, c)) / (qn * cn), i))
+    probe = [i for _, i in sorted(scores, reverse=True)[:n_probe]]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.where(F.col("list_id").isin(probe))
+    scored = cand.select(
+        "vec_id",
+        F.round(_cosine(F.col("embedding").cast("array<double>"), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
 def pairwise_topk_per_vector(
     embeddings: DataFrame,
     k: int = 5,

@@ -216,3 +216,17 @@ def test_salted_join_spreads_hot_key(spark):
     )
     n_salts = big.select(salt_col.alias("s")).distinct().count()
     assert n_salts > 1  # one hot key really does fan out
+
+
+def test_ivf_topk_recall(embeddings):
+    cents, assigned = similarity.ivf_build(embeddings, n_lists=8, iters=2)
+    assigned = assigned.cache()
+    # every vector lands in exactly one list
+    assert assigned.count() == embeddings.count()
+    q = list(embeddings.where(F.col("vec_id") == 3).collect()[0]["embedding"])
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, q, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.ivf_topk(assigned, cents, q, k=10, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # the query vector itself must be found
+    assert approx[0] == 3
