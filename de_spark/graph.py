@@ -21,17 +21,37 @@ class KnowledgeGraph:
     dict_df: DataFrame    # graph, term, section, sec_id, uid
     triples: DataFrame    # graph, s_id, p_id, o_id
     stats: DataFrame      # graph, triples, properties, distinct_subjects, distinct_objects
+    pred_stats: DataFrame | None = None  # p_id, n — BGP selectivity stats
 
     # -- loading ------------------------------------------------------------
 
     @classmethod
     def load(cls, spark: SparkSession, base_dir: str) -> "KnowledgeGraph":
+        import os
+
+        pred = None
+        if os.path.exists(f"{base_dir}/pred_stats"):
+            pred = spark.read.parquet(f"{base_dir}/pred_stats")
         return cls(
             term_uids=spark.read.parquet(f"{base_dir}/term_uids"),
             dict_df=spark.read.parquet(f"{base_dir}/dict"),
             triples=spark.read.parquet(f"{base_dir}/triples"),
             stats=spark.read.parquet(f"{base_dir}/stats"),
+            pred_stats=pred,
         )
+
+    def predicate_cardinalities(self, pred_terms: list[str]) -> dict[str, int]:
+        """Triple counts for constant predicate terms (plan-time driver
+        lookup over the tiny pred_stats table; {} when stats absent)."""
+        if self.pred_stats is None or not pred_terms:
+            return {}
+        uids = self.term_uids.where(F.col("term").isin(pred_terms)).select("term", "uid")
+        rows = (
+            uids.join(self.pred_stats, uids.uid == self.pred_stats.p_id, "left")
+            .select("term", "n")
+            .collect()
+        )
+        return {r["term"]: int(r["n"] or 0) for r in rows}
 
     # -- physical access path (F1/F2) ----------------------------------------
 

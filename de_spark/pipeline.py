@@ -177,4 +177,11 @@ def build(
     enc = spark.read.parquet(triples_dir)
     results.append(_write_stage(void_stats_encoded(enc), stats_dir, "stats", resume))
 
+    # predicate-degree statistics: drives selectivity ordering in the
+    # BGP compiler (SURVEY.md §4 P7 — the classic SPARQL optimizer
+    # trick the reference gets from spareval's prepare())
+    pred_dir = f"{out_dir}/pred_stats"
+    pred_stats = enc.groupBy("p_id").agg(F.count("*").alias("n"))
+    results.append(_write_stage(pred_stats, pred_dir, "pred_stats", resume))
+
     return KnowledgeGraph.load(spark, out_dir), results

@@ -76,8 +76,27 @@ def _compile_one(kg: KnowledgeGraph, pat: TriplePattern) -> DataFrame:
 
 def compile_bgp(kg: KnowledgeGraph, patterns: list[TriplePattern]) -> DataFrame:
     """BGP over the default union graph → DataFrame of uid-valued
-    variable columns."""
-    ordered = sorted(patterns, key=lambda p: p.selectivity_key())
+    variable columns.
+
+    Ordering: statistics first — patterns with a constant predicate are
+    ranked by that predicate's actual triple count from the pred_stats
+    table (plan-time lookup), so a hub predicate like rdf:type sinks to
+    the end of the join chain; the static bound-position heuristic
+    breaks ties and covers stat-less patterns."""
+    pred_terms = [p.p for p in patterns if not p.p.startswith("?")]
+    cards = kg.predicate_cardinalities(pred_terms)
+    big = (max(cards.values()) + 1) if cards else 1
+
+    def key(p: TriplePattern):
+        est = cards.get(p.p, big if not p.p.startswith("?") else big * 3)
+        # fully-bound or o-bound patterns cut below predicate degree
+        if not p.o.startswith("?"):
+            est = max(est // 100, 1)
+        if not p.s.startswith("?"):
+            est = max(est // 100, 1)
+        return (est, p.selectivity_key())
+
+    ordered = sorted(patterns, key=key)
     df: DataFrame | None = None
     for pat in ordered:
         part = _compile_one(kg, pat)

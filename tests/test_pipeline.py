@@ -13,7 +13,9 @@ def test_build_writes_manifests_and_resumes(spark, tmp_path):
     out = str(tmp_path / "kg")
     raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt")
     kg, stages = build(raw, out)
-    assert [s.name for s in stages] == ["extract", "term_uids", "dict", "triples", "stats"]
+    assert [s.name for s in stages] == [
+        "extract", "term_uids", "dict", "triples", "stats", "pred_stats",
+    ]
     assert all(not s.skipped for s in stages)
 
     # manifests carry lineage: rows, checksum, per-graph counts, wall
@@ -39,6 +41,7 @@ def test_build_writes_manifests_and_resumes(spark, tmp_path):
         "dict": True,
         "triples": False,
         "stats": False,
+        "pred_stats": True,
     }
     assert kg3.triples.count() == 12
 
@@ -49,7 +52,7 @@ def test_checksum_is_partitioning_invariant(spark, tmp_path):
     b = str(tmp_path / "b")
     build(raw.repartition(1), a)
     build(raw.repartition(7), b)
-    for stage in ("triples_raw", "term_uids", "dict", "triples", "stats"):
+    for stage in ("triples_raw", "term_uids", "dict", "triples", "stats", "pred_stats"):
         ma = json.load(open(os.path.join(a, stage, "_manifest.json")))
         mb = json.load(open(os.path.join(b, stage, "_manifest.json")))
         assert (ma["rows"], ma["checksum"]) == (mb["rows"], mb["checksum"]), stage
