@@ -252,6 +252,14 @@ def _ann_lsh_topk(spark, sf_dir):
     return similarity.hyperplane_lsh_topk(e, q, k=20)
 
 
+def _ann_ivf_topk(spark, sf_dir):
+    # approximate; no exact SQL twin → rows-only driver check
+    e = _read(spark, sf_dir, "embeddings")
+    q = list(e.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    cents, assigned = similarity.ivf_build(e, n_lists=8, iters=1)
+    return similarity.ivf_topk(assigned, cents, q, k=20, n_probe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (engine code path)
@@ -283,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
     }
 
 
