@@ -77,11 +77,18 @@ def main() -> None:
     n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
     n_high = 4 * n_low
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    reps_low = int(os.environ.get("SPARK_GRAFT_SCALE_REPS_LOW", str(reps)))
+    reps_high = int(os.environ.get("SPARK_GRAFT_SCALE_REPS_HIGH", str(reps)))
 
     runs: dict[int, list[float]] = {n_low: [], n_high: []}
     triples = 0
-    for _ in range(reps):
-        for cpus in (n_high, n_low):
+    for i in range(max(reps_low, reps_high)):
+        legs = []
+        if i < reps_high:
+            legs.append(n_high)
+        if i < reps_low:
+            legs.append(n_low)
+        for cpus in legs:
             n, wall = run_probe(cpus, sf)
             triples = n
             runs[cpus].append(wall)
@@ -121,7 +128,8 @@ the deterministic synthetic source-code corpus at SF={sf}
 Methodology: each leg pinned with `taskset` to exactly N cores (GC,
 JIT and Python workers share the leg's budget, like a real N-core
 node); fresh JVM per run (spark-submit-style subprocess); shuffle dirs
-on tmpfs; {reps} interleaved reps per level; minimum wall scored (the
+on tmpfs; {reps_low}×local[{n_low}] / {reps_high}×local[{n_high}]
+interleaved reps; minimum wall scored (the
 host VM shows CPU-steal spikes up to 2.5× — min ≈ least-stolen run).
 
 | parallelism (pinned cores) | walls (s) | best wall (s) | throughput (triples/s) |

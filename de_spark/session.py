@@ -55,6 +55,15 @@ def get_spark(
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]")
+        # cap GC/JIT threads: local[N] with default G1 spawns ~0.7*cores
+        # GC threads ON TOP of N mutators — on an oversubscribed VM the
+        # co-scheduling stalls convoy allocation-heavy stages (measured
+        # here: a pure map job ran 3x slower at 24-32 threads than at 12)
+        gc_threads = max(4, min(8, cpus // 2))
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads={max(1, gc_threads // 4)}",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
