@@ -220,16 +220,30 @@ def _dedup_jaccard_pairs(spark, sf_dir):
 
 
 def _dedup_minhash_lsh(spark, sf_dir):
-    # xxhash64 has no DuckDB twin → rows-only driver check
-    return dedup.minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.5)
+    # portable md5-based hash mode: the DuckDB oracle reproduces the
+    # banded-LSH pair set value-exactly (production default stays
+    # xxhash64 — same plan, cheaper hash)
+    return dedup.minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.5, portable=True
+    )
 
 
 def _dedup_simhash(spark, sf_dir):
-    return dedup.simhash(_read(spark, sf_dir, "documents"))
+    return dedup.simhash(_read(spark, sf_dir, "documents"), portable=True)
 
 
 def _embedding_neardup(spark, sf_dir):
-    return dedup.embedding_neardup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.4)
+    # bucketed LSH candidates + exact within-candidate cosine — no
+    # cartesian product in the plan; probe params generous enough that
+    # the output hash-matches the brute-force DuckDB oracle (miss prob
+    # ≈ 4e-9/pair at the 0.4 threshold, see embedding_neardup_lsh doc)
+    return dedup.embedding_neardup_lsh(
+        _read(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_planes=4,
+        n_tables=10,
+        multiprobe_hamming=2,
+    )
 
 
 def _ann_cosine_topk(spark, sf_dir):
@@ -253,11 +267,11 @@ def _ann_lsh_topk(spark, sf_dir):
 
 
 def _ann_ivf_topk(spark, sf_dir):
-    # approximate; no exact SQL twin → rows-only driver check
+    # approximate; no exact SQL twin → golden-parquet oracle
     e = _read(spark, sf_dir, "embeddings")
     q = list(e.where(F.col("vec_id") == 0).collect()[0]["embedding"])
-    cents, assigned = similarity.ivf_build(e, n_lists=8, iters=1)
-    return similarity.ivf_topk(assigned, cents, q, k=20, n_probe=4)
+    cents_df, assigned = similarity.ivf_build(e, n_lists=8, iters=1)
+    return similarity.ivf_topk(assigned, cents_df, q, k=20, n_probe=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -299,6 +313,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
+# uid oracle: the engine derives term uids from the four-section dict
+# layout in ONE index pass (de_spark.dictionary.build_dict_and_uids) —
+# uid := min 1-based row_number over the term's dict rows in
+# (graph, sec_ord, term) order; unique + deterministic, not dense.
+_UIDS_SQL = """
+        s_terms AS (SELECT DISTINCT graph, s AS term FROM triples),
+        o_terms AS (SELECT DISTINCT graph, o AS term FROM triples),
+        p_terms AS (SELECT DISTINCT graph, p AS term FROM triples),
+        so AS (SELECT graph, term FROM s_terms INTERSECT SELECT graph, term FROM o_terms),
+        s_only AS (SELECT graph, term FROM s_terms EXCEPT SELECT graph, term FROM o_terms),
+        o_only AS (SELECT graph, term FROM o_terms EXCEPT SELECT graph, term FROM s_terms),
+        secs_ord AS (
+          SELECT graph, term, 0 AS sec_ord FROM so
+          UNION ALL SELECT graph, term, 1 FROM s_only
+          UNION ALL SELECT graph, term, 2 FROM o_only
+          UNION ALL SELECT graph, term, 3 FROM p_terms
+        ),
+        idxd AS (
+          SELECT term,
+                 row_number() OVER (ORDER BY graph, sec_ord, term) AS rn
+          FROM secs_ord
+        ),
+        uids AS (SELECT term, min(rn) AS uid FROM idxd GROUP BY term)
+"""
+
+# portable 60-bit hash (md5 prefix) — the DuckDB twin of
+# de_spark.ops.dedup.portable_hash64
+def _ph_sql(x: str) -> str:
+    return f"('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    rpb = num_hashes // bands
+    ph = _ph_sql("h.i::VARCHAR || chr(31) || g.shingle")
+    sim = f"round(len(list_filter(range(1, {num_hashes + 1}), i -> sig_a[i] = sig_b[i]))::DOUBLE / {num_hashes}, 6)"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM pos
+        ),
+        hashes AS (
+          SELECT g.doc_id, h.i AS hi, min({ph}) AS mh
+          FROM grams g, (SELECT unnest(range(0, {num_hashes})) AS i) h
+          GROUP BY g.doc_id, h.i
+        ),
+        sigs AS (SELECT doc_id, list(mh ORDER BY hi) AS sig FROM hashes GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, sig, b.bi AS band,
+                 md5(array_to_string(sig[b.bi*{rpb}+1 : b.bi*{rpb}+{rpb}], ',')) AS bucket
+          FROM sigs, (SELECT unnest(range(0, {bands})) AS bi) b
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sig_a, y.sig AS sig_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        )
+        SELECT a, b, {sim} AS sig_sim FROM cand WHERE {sim} >= {threshold}
+    """
+
+
+def _simhash_oracle() -> str:
+    ph = _ph_sql("tok")
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(64)
+    )
+    # bit 63 maps to -(2^63) in the long; the portable hash keeps bits
+    # 60-63 at zero so those votes are always negative → contribute 0
+    val = " + ".join(f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(63))
+    return f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+          )
+        ),
+        tok2 AS (SELECT doc_id, tok, {ph} AS h FROM toks WHERE tok != ''),
+        votes AS (SELECT doc_id, {votes} FROM tok2 GROUP BY doc_id)
+        SELECT doc_id, ({val})::BIGINT AS simhash FROM votes
+    """
+
+
+def _lsh_topk_oracle(k: int = 20, n_planes: int = 6, n_tables: int = 4, seed: int = 42) -> str:
+    """Sign-projection LSH is fully deterministic given the plane
+    literals — restated in SQL with the same fixed hyperplanes, the
+    same per-table buckets and the same hamming≤1 multiprobe."""
+    from de_spark.ops.similarity import _table_planes
+
+    def bucket(vec: str, planes) -> str:
+        bits = [
+            f"(CASE WHEN list_dot_product({vec}, "
+            + "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            + f") >= 0 THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    tables = _table_planes(64, n_planes, n_tables, seed)
+    sel = ", ".join(
+        f"{bucket('ee', pl)} AS b{t}, {bucket('qe', pl)} AS qb{t}"
+        for t, pl in enumerate(tables)
+    )
+    cond = " OR ".join(
+        f"bit_count(xor(b{t}::BIGINT, qb{t}::BIGINT)) <= 1" for t in range(n_tables)
+    )
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        sigs AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS ee, q.qe AS qe, {sel}
+          FROM embeddings e, q
+        )
+        SELECT vec_id, round(list_cosine_similarity(ee, qe), 6) AS cosine
+        FROM sigs WHERE {cond}
+        ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
 _EN = r"\b(the|and|of|is)\b"
 _ES = r"\b(el|la|los|que)\b"
 _DE = r"\b(der|die|und|nicht)\b"
@@ -321,12 +458,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_raw": TRIPLES_SQL + "SELECT s, p, o, graph FROM triples",
         "kg_term_uids": TRIPLES_SQL
-        + """,
-        terms AS (SELECT s AS term FROM triples UNION
-                  SELECT p FROM triples UNION
-                  SELECT o FROM triples)
-        SELECT term, row_number() OVER (ORDER BY term) AS uid FROM terms
-        """,
+        + ","
+        + _UIDS_SQL
+        + "SELECT term, uid FROM uids",
         "kg_dict_sections": TRIPLES_SQL
         + """,
         s_terms AS (SELECT DISTINCT graph, s AS term FROM triples),
@@ -353,11 +487,9 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked r LEFT JOIN nso ON r.graph = nso.graph
         """,
         "kg_triples_encoded": TRIPLES_SQL
-        + """,
-        terms AS (SELECT s AS term FROM triples UNION
-                  SELECT p FROM triples UNION
-                  SELECT o FROM triples),
-        uids AS (SELECT term, row_number() OVER (ORDER BY term) AS uid FROM terms)
+        + ","
+        + _UIDS_SQL
+        + """
         SELECT t.graph, us.uid AS s_id, up.uid AS p_id, uo.uid AS o_id
         FROM triples t
         JOIN uids us ON t.s = us.term
@@ -517,6 +649,14 @@ def oracle_sql() -> dict[str, str]:
              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         ORDER BY cosine DESC, e.vec_id ASC LIMIT 20
         """,
-        # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: xxhash64 /
-        # approximate methods have no DuckDB twin → rows-only check.
+        "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "ann_lsh_topk": _lsh_topk_oracle(),
+        # ann_ivf_topk: iterative k-means has no closed-form SQL twin →
+        # golden-parquet oracle (regenerated by tools/make_goldens.py;
+        # the build is deterministic: seeded centroids, round(avg, 9)
+        # Lloyd means, argmax tie-break by list_id).
+        "ann_ivf_topk": (
+            "SELECT * FROM read_parquet('/root/repo/tests/goldens/ann_ivf_topk_sf0.01.parquet')"
+        ),
     }

@@ -45,7 +45,9 @@ def bench_kg_build(spark, sf: float) -> dict:
         corpus = generate_corpus(spark, sf)
         raw = extract_code_triples(corpus)
         kg, stages = build(raw, out_dir)
-        n_triples = kg.triples.count()
+        # the triples stage manifest already carries the exact row count
+        # (observe() during the write) — no extra count action
+        n_triples = next(s.rows for s in stages if s.name == "triples")
         wall = time.monotonic() - t0
 
         # 2-pattern BGP on the hub predicate (imports mod_0 ∧ type File)

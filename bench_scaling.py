@@ -44,7 +44,7 @@ spark = get_spark(f"scale{{cpus}}", cpus=cpus, shuffle_partitions=cpus)
 out = tempfile.mkdtemp(prefix="de_scale_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 t0 = time.monotonic()
 kg, stages = build(extract_code_triples(generate_corpus(spark, sf)), out)
-n = kg.triples.count()
+n = next(s.rows for s in stages if s.name == "triples")
 wall = time.monotonic() - t0
 print(f"PROBE_RESULT {{cpus}} {{sf}} {{n}} {{wall:.3f}}")
 shutil.rmtree(out, ignore_errors=True)

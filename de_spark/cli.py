@@ -28,7 +28,9 @@ def _build_from_files(spark, files, out_dir, single_graph=None):
     from de_spark.pipeline import build
     from de_spark.sources import read_rdf
 
-    raw, unhandled = read_rdf(spark, files, single_graph=single_graph)
+    raw, unhandled, warnings = read_rdf(spark, files, single_graph=single_graph)
+    for w in warnings:
+        print(f"warning: {w}", file=sys.stderr)
     for p in unhandled:
         print(f"warning: unhandled file type: {p}", file=sys.stderr)
     return build(raw, out_dir)
@@ -58,19 +60,34 @@ def cmd_query(args) -> int:
 
     import re as _re
 
-    from de_spark.query.sparql import sparql_construct
+    from de_spark.query.sparql import parse_sparql, sparql_construct, sparql_describe
+    from de_spark.query.sparql import execute as sparql_execute
     from de_spark.sources.rdf_writers import render_ntriples
-    from pyspark.sql import functions as F
 
     for qf in args.query:
         with open(qf) as f:
             q = f.read()
-        if _re.search(r"\bCONSTRUCT\b", q, _re.I):
-            # CONSTRUCT → RDF graph output (NTriples lines), like
-            # the reference's graph-format routing (src/query.rs:155)
-            g = sparql_construct(kg, q)
+        if _re.search(r"\bCONSTRUCT\b", q, _re.I) or _re.search(r"\bDESCRIBE\b", q, _re.I):
+            # CONSTRUCT/DESCRIBE → RDF graph output (NTriples lines),
+            # like the reference's graph-format routing (src/query.rs:155-175)
+            is_describe = bool(_re.search(r"\bDESCRIBE\b", q, _re.I))
+            g = sparql_describe(kg, q) if is_describe else sparql_construct(kg, q)
             for r in render_ntriples(g).toLocalIterator():
                 print(r["line"])
+            continue
+        parsed = parse_sparql(q)
+        if parsed.ask:
+            # boolean serializations match the reference's sparesults
+            # shapes ('true' CSV/TSV, {"head":{},"boolean":true} JSON —
+            # src/query.rs:133-144), not a generic 1-row DataFrame dump
+            value = sparql_execute(kg, parsed).limit(1).count() > 0
+            emit_ask = {
+                "csv": res.ask_to_csv,
+                "tsv": res.ask_to_tsv,
+                "json": res.ask_to_json,
+                "xml": res.ask_to_xml,
+            }[args.output]
+            print(emit_ask(value))
             continue
         sols = sparql_select(kg, q)
         emit = {

@@ -32,7 +32,10 @@ Triples are encoded with uids so that BGP joins on shared variables are
 plain integer equi-joins even across positions and graphs; the
 per-section sec_ids exist for HDT parity, stats and ordering.  This is a
 deliberate deviation from HDT's in-file layout (we don't write HDT
-bytes; triple-set equivalence is the contract — SURVEY.md §0).
+bytes; triple-set equivalence is the contract — SURVEY.md §0).  The
+build pipeline derives uids and sec_ids from ONE shared global index
+(:func:`build_dict_and_uids`) — uids are unique and deterministic but
+intentionally not dense.
 """
 
 from __future__ import annotations
@@ -49,6 +52,8 @@ def zip_with_index(
     sort_cols: list[str],
     id_col: str = "idx",
     num_partitions: int | None = None,
+    persist_input: bool = True,
+    handles: list | None = None,
 ) -> DataFrame:
     """Append a dense 0-based long ``id_col`` following the global sort
     order of ``sort_cols`` — entirely JVM-side.
@@ -62,6 +67,14 @@ def zip_with_index(
     ever happens, and nothing crosses the Python boundary (the RDD
     zipWithIndex equivalent would serialize every row through Python).
     IDs depend only on the global sort order, not partition placement.
+
+    ``persist_input=False`` skips caching the input (pass it when the
+    caller already persisted the upstream — the boundary-sampling pass
+    then reads that cache).  ``handles``, when given, collects every
+    DataFrame this call persisted so the CALLER can unpersist them
+    after materializing downstream results (without it the range-sorted
+    frame would stay cached for the session — the returned frame reads
+    from it lazily, so it cannot be unpersisted here).
     """
     from pyspark import StorageLevel
 
@@ -70,7 +83,7 @@ def zip_with_index(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # cache the input: repartitionByRange runs a boundary-sampling pass
     # that would otherwise re-execute the (often join-heavy) upstream
-    src = df.persist(StorageLevel.MEMORY_AND_DISK)
+    src = df.persist(StorageLevel.MEMORY_AND_DISK) if persist_input else df
     # monotonically_increasing_id is assigned in row order within each
     # partition (partition id in the upper bits) — over the persisted,
     # range-sorted frame it encodes (pid, local position) with NO
@@ -85,6 +98,8 @@ def zip_with_index(
         .withColumn("__mid", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if handles is not None:
+        handles.append(ordered)
     pid = F.shiftrightunsigned(F.col("__mid"), 33)
     part_stats = sorted(
         (int(r["pid"]), int(r["cnt"]), int(r["mn"]))
@@ -92,7 +107,8 @@ def zip_with_index(
         .agg(F.count("*").alias("cnt"), F.min("__mid").alias("mn"))
         .collect()
     )
-    src.unpersist()  # ordered is materialized now; the source cache is done
+    if persist_input:
+        src.unpersist()  # ordered is materialized now; the source cache is done
     offsets: dict[int, int] = {}
     mins: dict[int, int] = {}
     acc = 0
@@ -138,6 +154,10 @@ def build_term_uids(triples_raw: DataFrame, flags: DataFrame | None = None) -> D
     any graph) gets one dense long uid, ordered lexicographically.
 
     Schema: term: string, uid: long (uid is 1-based).
+
+    Standalone path (unit tests, ``add_graph`` appends).  The build
+    pipeline uses :func:`build_dict_and_uids`, which derives the uids
+    from the dictionary's own sorted layout in a single index pass.
     """
     if flags is None:
         flags = position_flags(triples_raw)
@@ -146,16 +166,8 @@ def build_term_uids(triples_raw: DataFrame, flags: DataFrame | None = None) -> D
     return with_idx.select("term", (F.col("idx") + 1).alias("uid"))
 
 
-def build_dictionary(
-    triples_raw: DataFrame, term_uids: DataFrame, flags: DataFrame | None = None
-) -> DataFrame:
-    """Per-graph four-section dictionary.
-
-    Schema: graph, term, section ∈ {so,s,o,p}, sec_id (HDT ID within the
-    section's ID space, 1-based, see module docstring), uid (global).
-    """
-    if flags is None:
-        flags = position_flags(triples_raw)
+def _sections(flags: DataFrame) -> DataFrame:
+    """flags → (graph, term, section, sec_ord) four-section rows."""
     spo = flags.where((F.col("is_s") == 1) | (F.col("is_o") == 1)).select(
         "graph",
         "term",
@@ -170,7 +182,7 @@ def build_dictionary(
         "graph", "term", F.lit("p").alias("section")
     )
     sections = spo.unionByName(p_sec)
-    sections = sections.withColumn(
+    return sections.withColumn(
         "sec_ord",
         F.when(F.col("section") == "so", F.lit(0))
         .when(F.col("section") == "s", F.lit(1))
@@ -178,10 +190,10 @@ def build_dictionary(
         .otherwise(F.lit(3)),
     )
 
-    # one global range-sorted index over (graph, section, term) …
-    indexed = zip_with_index(sections, ["graph", "sec_ord", "term"], id_col="idx")
 
-    # … turned into per-(graph, section) dense ranks via tiny group mins
+def _rank_sections(indexed: DataFrame) -> DataFrame:
+    """Global (graph, sec_ord, term) index → HDT per-section sec_ids
+    via tiny broadcast group minima (no second sort)."""
     mins = indexed.groupBy("graph", "section").agg(F.min("idx").alias("min_idx"))
     n_so = (
         indexed.where(F.col("section") == "so")
@@ -196,7 +208,62 @@ def build_dictionary(
     # HDT ID spaces: so → 1..n_so; s/o → n_so + rank; p → 1..n_p
     rank = F.col("idx") - F.col("min_idx") + 1
     sec_id = F.when(F.col("section").isin("s", "o"), rank + F.col("n_so")).otherwise(rank)
-    dict_df = ranked.select(
-        "graph", "term", "section", sec_id.cast("long").alias("sec_id")
+    return ranked.select("graph", "term", "section", sec_id.cast("long").alias("sec_id"))
+
+
+def build_dict_and_uids(
+    flags: DataFrame,
+    handles: list | None = None,
+    flags_persisted: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE global index pass yields BOTH dictionary sec_ids and term uids.
+
+    The (graph, sec_ord, term) range-sorted layout gives the HDT
+    per-section dense sec_ids directly; the global term uid is defined
+    as ``1 + min(idx)`` over the term's dict rows — unique and
+    deterministic (it is a pure function of the sorted layout), though
+    not dense (a term present in several graphs/sections keeps only its
+    first slot).  Density was never required: triples join on uid
+    equality, HDT parity lives in the per-section sec_ids.  This halves
+    the round-1 build cost of TWO zip_with_index passes (each a persist
+    + boundary-sampling pass + offsets collect) — the serial driver
+    work that capped scaling efficiency (BENCH/BASELINE.md).
+
+    Returns (dict_df, term_uids); both derive lazily from one persisted
+    indexed frame (appended to ``handles`` for caller unpersist).
+    """
+    sections = _sections(flags)
+    indexed = zip_with_index(
+        sections,
+        ["graph", "sec_ord", "term"],
+        id_col="idx",
+        persist_input=not flags_persisted,
+        handles=handles,
     )
+    term_uids = indexed.groupBy("term").agg((F.min("idx") + 1).cast("long").alias("uid"))
+    dict_df = (
+        _rank_sections(indexed)
+        .join(term_uids, "term")
+        .select("graph", "term", "section", "sec_id", "uid")
+    )
+    return dict_df, term_uids
+
+
+def build_dictionary(
+    triples_raw: DataFrame,
+    term_uids: DataFrame,
+    flags: DataFrame | None = None,
+    handles: list | None = None,
+) -> DataFrame:
+    """Per-graph four-section dictionary against caller-supplied uids.
+
+    Schema: graph, term, section ∈ {so,s,o,p}, sec_id (HDT ID within the
+    section's ID space, 1-based, see module docstring), uid (global).
+    """
+    if flags is None:
+        flags = position_flags(triples_raw)
+    indexed = zip_with_index(
+        _sections(flags), ["graph", "sec_ord", "term"], id_col="idx", handles=handles
+    )
+    dict_df = _rank_sections(indexed)
     return dict_df.join(term_uids, "term").select("graph", "term", "section", "sec_id", "uid")

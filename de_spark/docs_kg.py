@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_spark.dictionary import build_dictionary, build_term_uids
+from de_spark.dictionary import build_dict_and_uids, position_flags
 from de_spark.encode import encode_triples
 from de_spark.graph import KnowledgeGraph
 from de_spark.stats import void_stats
@@ -71,13 +71,13 @@ def documents_kg(spark: SparkSession, sf_dir: str) -> KnowledgeGraph:
     if key in _KG_CACHE:
         return _KG_CACHE[key]
     raw = documents_triples(spark, sf_dir).cache()
-    from de_spark.dictionary import position_flags
-
-    flags = position_flags(raw)
-    uids = build_term_uids(raw, flags).cache()
+    # single shared index pass (the pipeline's path): dict sec_ids and
+    # term uids from one (graph, sec_ord, term) sorted layout
+    dict_df, uids = build_dict_and_uids(position_flags(raw))
+    uids = uids.cache()
     kg = KnowledgeGraph(
         term_uids=uids,
-        dict_df=build_dictionary(raw, uids, flags).cache(),
+        dict_df=dict_df.cache(),
         triples=encode_triples(raw, uids).cache(),
         stats=void_stats(raw).cache(),
     )

@@ -18,8 +18,21 @@ Scale notes (the point of each variant):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def portable_hash64(col: Column, seed: int | None = None) -> Column:
+    """Deterministic 60-bit hash computable identically in Spark AND
+    DuckDB: the first 15 hex chars of md5 parsed as an integer
+    (DuckDB: ``('0x' || substring(md5(x),1,15))::BIGINT``).  Used by the
+    ``portable=True`` mode of minhash/simhash so the driver's DuckDB
+    oracle can verify them value-exactly; the default mode keeps
+    xxhash64 (codegen'd, no hex round-trip) for production.
+    """
+    if seed is not None:
+        col = F.concat(F.lit(f"{seed}\x1f"), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _tokens(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -46,9 +59,10 @@ def shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id", text_col:
     sequence → slice/join — no Python in the row path.
     """
     toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), k - 1)
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.when(k > 0, F.transform(
+        F.sequence(F.lit(0), k - 1), lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )).otherwise(F.array().cast("array<string>"))  # <n tokens → no shingles
     return documents.select(
         F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle")
     )
@@ -97,15 +111,22 @@ def minhash_signatures(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — k independent minhashes per doc.
 
-    minhash_i(doc) = min over shingles of xxhash64(shingle, seed=i).
-    One groupBy computes all k mins (partial aggregation map-side)."""
+    minhash_i(doc) = min over shingles of hash(shingle, seed=i).
+    One groupBy computes all k mins (partial aggregation map-side).
+    ``portable=True`` swaps xxhash64 for the md5-based portable hash so
+    a DuckDB oracle can reproduce the signatures value-exactly."""
+    hash_fn = (
+        (lambda c, i: portable_hash64(c, seed=i))
+        if portable
+        else (lambda c, i: F.xxhash64(c, F.lit(i)))
+    )
     sh = shingles(documents, shingle_n, id_col, text_col)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(hash_fn(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
@@ -119,24 +140,29 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     similarity ≥ threshold.  Returns (a, b, sig_sim)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, shingle_n, id_col, text_col)
+
+    def band_hash(parts):
+        joined = F.concat_ws(",", *parts)
+        # band bucket: any deterministic hash of the band's rows; md5
+        # hex in portable mode (DuckDB twin), xxhash64 otherwise
+        return F.md5(joined).cast("string") if portable else F.xxhash64(joined).cast("string")
+
+    sigs = minhash_signatures(documents, num_hashes, shingle_n, id_col, text_col, portable)
     band_cols = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(bi).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", bi * rows_per_band + ri + 1).cast("string")
-                                for ri in range(rows_per_band)
-                            ],
-                        )
+                    band_hash(
+                        [
+                            F.element_at("sig", bi * rows_per_band + ri + 1).cast("string")
+                            for ri in range(rows_per_band)
+                        ]
                     ).alias("bucket"),
                 )
                 for bi in range(bands)
@@ -162,10 +188,18 @@ def minhash_lsh_pairs(
     return cand.select("a", "b", sim.alias("sig_sim")).where(F.col("sig_sim") >= threshold)
 
 
-def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, majority vote per bit.
-    Returns (doc_id, simhash: long)."""
-    toks = _tokens(documents, id_col, text_col).withColumn("h", F.xxhash64("tok"))
+def simhash(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """64-bit SimHash per doc: per-token hash, majority vote per bit.
+    Returns (doc_id, simhash: long).  ``portable=True`` uses the
+    md5-based 60-bit hash (bits 60-63 then always vote negative → 0)
+    so the DuckDB oracle reproduces signatures value-exactly."""
+    h = portable_hash64(F.col("tok")) if portable else F.xxhash64("tok")
+    toks = _tokens(documents, id_col, text_col).withColumn("h", h)
     bit_votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -190,8 +224,9 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column (a < b).
 
-    Brute force O(n²/2) — verification scale.  The 100 TB path buckets
-    by LSH first (see de_spark.ops.similarity.hyperplane_lsh_topk)."""
+    Brute force O(n²/2) — the small-scale ORACLE only.  The default /
+    100 TB path is :func:`embedding_neardup_lsh` (bucketed candidates,
+    no cross product)."""
     from de_spark.ops.similarity import _cosine
 
     a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
@@ -200,5 +235,83 @@ def embedding_neardup_pairs(
         a.crossJoin(b)
         .where(F.col("a") < F.col("b"))
         .select("a", "b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    multiprobe_hamming: int = 1,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed cosine near-duplicate pairs (a < b) — the scale path.
+
+    Candidates = id pairs whose sign-projection signatures lie within
+    ``multiprobe_hamming`` bits in ANY of ``n_tables`` hash tables
+    (signatures for all tables come from ONE scan,
+    similarity.multi_table_signatures); candidates are then verified
+    with exact cosine and filtered by ``threshold``.  False positives
+    are therefore impossible — the output differs from the brute-force
+    all-pairs result only by LSH misses, whose probability shrinks
+    geometrically in n_tables.  The candidate join shuffles slim
+    (id, table, bucket) rows — vectors are joined back only for the
+    candidate set — and there is no cartesian product anywhere in the
+    plan.
+
+    Parameter guidance: at production thresholds (≥0.9, angle ≤26°) the
+    per-plane collision rate is ≥0.85 and the defaults give tight
+    buckets with ~1e-4 miss/pair.  For aggressive low thresholds the
+    probe set must widen (the contract entry uses n_planes=4,
+    n_tables=10, hamming≤2 to hash-match the exact oracle at
+    threshold 0.4: per-table hit 0.85, miss ≈ 4e-9/pair).
+    """
+    from de_spark.ops.similarity import _cosine, multi_table_signatures
+
+    sigs = multi_table_signatures(
+        embeddings, n_planes, n_tables, dim, seed, id_col, vec_col
+    ).select("vec_id", "table", "bucket")
+
+    # asymmetric multiprobe: ONE side expands its bucket to the hamming
+    # ball (hamming(sig_a, sig_b) ≤ r  ⇔  b's bucket ∈ ball(a's bucket))
+    masks = [0]
+    if multiprobe_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    left = sigs.select(
+        F.col("vec_id").alias("a"),
+        "table",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks])
+        ).alias("bucket"),
+    )
+    right = sigs.select(F.col("vec_id").alias("b"), "table", "bucket")
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    ea = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                _cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+                6,
+            ).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )

@@ -3,16 +3,29 @@
 Stages (each a checkpoint, per north_rule resumability):
 
   1. extract      — source rows → triples_raw strings
-  2. term_uids    — global term→uid assignment
-  3. dict         — four-section per-graph dictionary
+  2. term_uids    — global term→uid assignment   ┐ one shared index pass,
+  3. dict         — four-section dictionary      ┘ written concurrently
   4. triples      — uid-encoded, SPO-sorted, graph-partitioned
-  5. stats        — VOID header stats
+  5. stats        — VOID header stats            ┐ derived from dict+enc,
+  6. pred_stats   — predicate degree stats       ┘ written concurrently
 
 Each stage writes parquet plus a ``_manifest.json`` with row count,
 wall-clock, schema and an order-insensitive content fingerprint
-(sum of per-row crc32 over the canonical JSON of the row — cheap,
-distributed, deterministic).  A killed job resumes by skipping stages
-whose manifest already exists (``build(..., resume=True)``).
+(XOR of per-row xxhash64 — cheap, distributed, deterministic).  A
+killed job resumes by skipping stages whose manifest already exists
+(``build(..., resume=True)``).  Per-graph lineage lives in the stats
+table itself (one row per graph with its triple count) — the resume /
+repair unit is the graph partition.
+
+Driver-serial cost is the scaling-efficiency enemy (north_rule ≥0.8
+from N to 4N): every action pays Catalyst planning + codegen on one
+core.  This build therefore (a) computes dict sec_ids AND term uids
+from ONE zip_with_index pass (round 1 ran two, each with a persist +
+boundary-sampling job + offsets collect), (b) derives VOID stats from
+the dictionary instead of three countDistinct shuffles over the fact
+table, and (c) overlaps independent stage writes (uids ∥ dict,
+stats ∥ pred_stats) on driver threads so planning of one action hides
+under execution of the other.
 
 Iceberg note: the target deployment materializes these as partitioned
 Iceberg tables (snapshot semantics = the reference's immutable HDT +
@@ -27,15 +40,16 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from de_spark.dictionary import build_dictionary, build_term_uids, position_flags
+from de_spark.dictionary import build_dict_and_uids, position_flags
 from de_spark.encode import encode_triples, sort_spo
 from de_spark.graph import KnowledgeGraph
-from de_spark.stats import void_stats_encoded
+from de_spark.stats import void_stats_from_dict
 
 
 def _lineage_exprs(df: DataFrame):
@@ -68,6 +82,10 @@ def _manifest_path(stage_dir: str) -> str:
     return os.path.join(stage_dir, "_manifest.json")
 
 
+def _stage_done(stage_dir: str, resume: bool) -> bool:
+    return resume and os.path.exists(_manifest_path(stage_dir))
+
+
 def _write_stage(
     df: DataFrame,
     stage_dir: str,
@@ -76,7 +94,7 @@ def _write_stage(
     partition_by: list[str] | None = None,
     sort: bool = False,
 ) -> StageResult:
-    if resume and os.path.exists(_manifest_path(stage_dir)):
+    if _stage_done(stage_dir, resume):
         with open(_manifest_path(stage_dir)) as f:
             m = json.load(f)
         return StageResult(name, stage_dir, m["rows"], m["checksum"], m["wall_ms"], True)
@@ -102,16 +120,6 @@ def _write_stage(
         cached.unpersist()
     metrics = obs.get
     rows, checksum = int(metrics["n"]), int(metrics["chk"] or 0)
-
-    # per-graph partition lineage: one extra pass, only for the
-    # partitioned triples table (the resume/repair unit)
-    per_part = {}
-    if partition_by and "graph" in (partition_by or []):
-        written = df.sparkSession.read.parquet(stage_dir)
-        per_part = {
-            r["graph"]: int(r["n"])
-            for r in written.groupBy("graph").agg(F.count("*").alias("n")).collect()
-        }
     wall_ms = int((time.monotonic() - t0) * 1000)
 
     with open(_manifest_path(stage_dir), "w") as f:
@@ -122,12 +130,26 @@ def _write_stage(
                 "checksum": checksum,
                 "wall_ms": wall_ms,
                 "schema": out.schema.simpleString(),
-                "partitions": per_part,
+                # per-graph row lineage is materialized in the stats
+                # stage (one row per graph) — not duplicated here
+                "partitions": "see stats stage",
             },
             f,
             indent=1,
         )
     return StageResult(name, stage_dir, rows, checksum, wall_ms, False)
+
+
+def _parallel_stages(jobs: list[tuple]) -> list[StageResult]:
+    """Run independent _write_stage calls on driver threads.  Spark's
+    scheduler interleaves their tasks; Catalyst planning of one action
+    overlaps execution of the other (the py4j calls release the GIL).
+    """
+    if len(jobs) == 1:
+        return [_write_stage(*jobs[0])]
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futs = [pool.submit(_write_stage, *j) for j in jobs]
+        return [f.result() for f in futs]
 
 
 def build(
@@ -144,44 +166,69 @@ def build(
     results.append(_write_stage(triples_raw, raw_dir, "extract", resume))
     raw = spark.read.parquet(raw_dir)
 
-    # one term-universe shuffle shared by the uid + dictionary stages
-    flags = position_flags(raw).persist()
-
     uids_dir = f"{out_dir}/term_uids"
-    done = lambda d: resume and os.path.exists(_manifest_path(d))  # noqa: E731
-    uids_df = spark.read.parquet(uids_dir) if done(uids_dir) else build_term_uids(raw, flags)
-    results.append(_write_stage(uids_df, uids_dir, "term_uids", resume))
+    dict_dir = f"{out_dir}/dict"
+    handles: list[DataFrame] = []
+    flags = None
+    if _stage_done(uids_dir, resume) and _stage_done(dict_dir, resume):
+        # skip the eager index pass entirely on resume
+        results.append(_write_stage(None, uids_dir, "term_uids", resume))
+        results.append(_write_stage(None, dict_dir, "dict", resume))
+    else:
+        # one term-universe shuffle (position flags) feeds the single
+        # shared index pass that yields BOTH dict sec_ids and term uids
+        flags = position_flags(raw).persist()
+        handles.append(flags)
+        dict_df, uids_df = build_dict_and_uids(flags, handles=handles, flags_persisted=True)
+        results.extend(
+            _parallel_stages(
+                [
+                    (uids_df, uids_dir, "term_uids", resume),
+                    (dict_df, dict_dir, "dict", resume),
+                ]
+            )
+        )
     uids = spark.read.parquet(uids_dir)
 
-    dict_dir = f"{out_dir}/dict"
-    dict_df = (
-        spark.read.parquet(dict_dir) if done(dict_dir) else build_dictionary(raw, uids, flags)
-    )
-    results.append(_write_stage(dict_df, dict_dir, "dict", resume))
-
     triples_dir = f"{out_dir}/triples"
-    p_vocab = flags.where(F.col("is_p") == 1).select("term").distinct()
-    results.append(
-        _write_stage(
-            encode_triples(raw, uids, p_vocab),
-            triples_dir,
-            "triples",
-            resume,
-            partition_by=["graph"],
-            sort=True,
+    if _stage_done(triples_dir, resume):
+        results.append(_write_stage(None, triples_dir, "triples", resume))
+    else:
+        if flags is not None:
+            p_vocab = flags.where(F.col("is_p") == 1).select("term").distinct()
+        else:
+            p_vocab = None  # encode derives it from triples_raw
+        results.append(
+            _write_stage(
+                encode_triples(raw, uids, p_vocab),
+                triples_dir,
+                "triples",
+                resume,
+                partition_by=["graph"],
+                sort=True,
+            )
+        )
+    for h in handles:
+        h.unpersist()
+
+    # stats (VOID, dict-derived) ∥ pred_stats (BGP selectivity stats,
+    # SURVEY.md §4 P7) — both column-pruned scans of the encoded table
+    enc = spark.read.parquet(triples_dir)
+    dict_read = spark.read.parquet(dict_dir)
+    stats_dir = f"{out_dir}/stats"
+    pred_dir = f"{out_dir}/pred_stats"
+    results.extend(
+        _parallel_stages(
+            [
+                (void_stats_from_dict(dict_read, enc), stats_dir, "stats", resume),
+                (
+                    enc.groupBy("p_id").agg(F.count("*").alias("n")),
+                    pred_dir,
+                    "pred_stats",
+                    resume,
+                ),
+            ]
         )
     )
-    flags.unpersist()
-
-    stats_dir = f"{out_dir}/stats"
-    enc = spark.read.parquet(triples_dir)
-    results.append(_write_stage(void_stats_encoded(enc), stats_dir, "stats", resume))
-
-    # predicate-degree statistics: drives selectivity ordering in the
-    # BGP compiler (SURVEY.md §4 P7 — the classic SPARQL optimizer
-    # trick the reference gets from spareval's prepare())
-    pred_dir = f"{out_dir}/pred_stats"
-    pred_stats = enc.groupBy("p_id").agg(F.count("*").alias("n"))
-    results.append(_write_stage(pred_stats, pred_dir, "pred_stats", resume))
 
     return KnowledgeGraph.load(spark, out_dir), results

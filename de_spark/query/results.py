@@ -147,6 +147,23 @@ def ask_to_json(value: bool) -> str:
     return json.dumps({"head": {}, "boolean": value}, separators=(",", ":"))
 
 
+def ask_to_csv(value: bool) -> str:
+    """sparesults boolean CSV/TSV: the bare lowercase word
+    (reference S9 ASK routing, src/query.rs:133-144)."""
+    return "true" if value else "false"
+
+
+ask_to_tsv = ask_to_csv
+
+
+def ask_to_xml(value: bool) -> str:
+    return (
+        '<?xml version="1.0"?>'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        f"<head></head><boolean>{'true' if value else 'false'}</boolean></sparql>"
+    )
+
+
 def write_csv(solutions: DataFrame, path: str) -> None:
     """Distributed CSV export (S9 at scale): same cell shapes as to_csv."""
     from pyspark.sql import functions as F

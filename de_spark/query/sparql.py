@@ -38,10 +38,16 @@ class Aggregate:
 
 
 @dataclass
+class OptionalBlock:
+    patterns: list[TriplePattern]
+    filters: list[str] = field(default_factory=list)  # scoped to this block
+
+
+@dataclass
 class SelectQuery:
     variables: list[str]          # projected var names, [] ⇒ all (SELECT *)
     patterns: list[TriplePattern]
-    optionals: list[list[TriplePattern]] = field(default_factory=list)
+    optionals: list[OptionalBlock] = field(default_factory=list)
     unions: list[list[TriplePattern]] = field(default_factory=list)
     filters: list[str] = field(default_factory=list)  # raw filter expressions
     distinct: bool = False
@@ -198,11 +204,11 @@ def parse_sparql(query: str) -> SelectQuery:
     tail = q[end + 1 :]
 
     filters: list[str] = []
-    optionals: list[list[TriplePattern]] = []
+    optionals: list[OptionalBlock] = []
     unions: list[list[TriplePattern]] = []
 
-    # extract FILTER(...) clauses
-    def take_filters(text: str) -> str:
+    # extract FILTER(...) clauses from a text fragment into ``sink``
+    def take_filters(text: str, sink: list[str]) -> str:
         out = text
         for fm in re.finditer(r"FILTER\s*\(", out, re.I):
             start_f = fm.end() - 1
@@ -213,16 +219,18 @@ def parse_sparql(query: str) -> SelectQuery:
                 elif out[i] == ")":
                     d -= 1
                     if d == 0:
-                        filters.append(out[start_f + 1 : i])
+                        sink.append(out[start_f + 1 : i])
                         out = out[: fm.start()] + " " + out[i + 1 :]
-                        return take_filters(out)
+                        return take_filters(out, sink)
         return out
 
-    body = take_filters(body)
-
-    # OPTIONAL { … } blocks
-    def take_blocks(text: str, keyword: str, sink: list[list[TriplePattern]]) -> str:
-        pat = re.compile(keyword + r"\s*\{", re.I)
+    # OPTIONAL { … } blocks FIRST — so a FILTER written inside an
+    # OPTIONAL is scoped to that block (left-join side) instead of
+    # being silently hoisted to the top level (which would drop rows
+    # SPARQL semantics keep: unbound optional var → top-level filter
+    # eliminates the row instead of leaving it unextended)
+    def take_optionals(text: str) -> str:
+        pat = re.compile(r"OPTIONAL\s*\{", re.I)
         while True:
             bm = pat.search(text)
             if not bm:
@@ -234,19 +242,29 @@ def parse_sparql(query: str) -> SelectQuery:
                 elif text[i] == "}":
                     d -= 1
                     if d == 0:
-                        sink.append(_parse_bgp(text[bm.end() : i], prefixes))
+                        block_filters: list[str] = []
+                        block_body = take_filters(text[bm.end() : i], block_filters)
+                        optionals.append(
+                            OptionalBlock(_parse_bgp(block_body, prefixes), block_filters)
+                        )
                         text = text[: bm.start()] + " " + text[i + 1 :]
                         break
             else:
-                raise ValueError(f"unbalanced {keyword} block")
+                raise ValueError("unbalanced OPTIONAL block")
 
-    body = take_blocks(body, r"OPTIONAL", optionals)
-    # UNION: '{ A } UNION { B }' — treat every brace group joined by UNION
-    um = re.search(r"\{([^{}]*)\}\s*UNION\s*\{([^{}]*)\}", body, re.I | re.S)
+    body = take_optionals(body)
+    body = take_filters(body, filters)
+
+    # UNION: '{ A } UNION { B } [UNION { C } …]' — one n-ary chain of
+    # brace groups (the reference gets arbitrary nesting from spareval;
+    # a second independent chain is rejected loudly rather than wrongly)
+    um = re.search(r"\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+", body, re.I | re.S)
     if um:
-        unions.append(_parse_bgp(um.group(1), prefixes))
-        unions.append(_parse_bgp(um.group(2), prefixes))
+        for bm in re.finditer(r"\{([^{}]*)\}", um.group(0)):
+            unions.append(_parse_bgp(bm.group(1), prefixes))
         body = body[: um.start()] + " " + body[um.end() :]
+    if re.search(r"\bUNION\b", body, re.I):
+        raise ValueError("multiple UNION chains / nested UNION are unsupported")
 
     patterns = _parse_bgp(body, prefixes) if body.strip() else []
 
@@ -368,6 +386,44 @@ def _filter_to_column(expr: str, prefixes: dict[str, str] | None = None):
 # ---------------------------------------------------------------------------
 
 
+def _filter_vars(expr: str) -> set[str]:
+    return set(re.findall(r"\?(\w+)", expr))
+
+
+def _push_filter_uid(kg: KnowledgeGraph, sols: DataFrame, expr: str) -> DataFrame | None:
+    """Evaluate a single-variable FILTER in uid space, BEFORE any term
+    decode: the predicate runs over the (vocabulary-sized) term_uids
+    table and binds into the solutions as a broadcast semi-join — the
+    large intermediate never decodes just to be filtered (the round-1
+    plan decoded every variable first; at scale that decode join of a
+    big intermediate dominates).  Equivalent to post-decode filtering
+    because decode IS the term_uids join: rows whose term fails the
+    predicate — or whose var is NULL (unbound optional) — are dropped
+    by both.  Returns None when not pushable (multi-var expressions).
+    """
+    vars_in = _filter_vars(expr)
+    if len(vars_in) != 1:
+        return None
+    var = vars_in.pop()
+    if var not in sols.columns:
+        return None
+    m = _BOUND_RE.match(expr)
+    if m:
+        # BOUND needs no term at all — it is a null test on the uid
+        c = F.col(var).isNotNull()
+        return sols.where(~c if m.group(1) else c)
+    try:
+        cond = _filter_to_column(expr)
+    except ValueError:
+        return None
+    matching = (
+        kg.term_uids.select(F.col("term").alias(var), "uid")
+        .where(cond)
+        .select(F.col("uid").alias(var))
+    )
+    return sols.join(F.broadcast(matching), var, "left_semi")
+
+
 def execute(kg: KnowledgeGraph, q: SelectQuery) -> DataFrame:
     """Run a parsed query; returns solutions with *string* term columns."""
     if q.unions:
@@ -387,14 +443,35 @@ def execute(kg: KnowledgeGraph, q: SelectQuery) -> DataFrame:
         sols = compile_bgp(kg, q.patterns)
 
     for opt in q.optionals:
-        right = compile_bgp(kg, opt)
+        right = compile_bgp(kg, opt.patterns)
+        # filters written inside OPTIONAL{…} scope to the right side of
+        # the left join (applied before joining, in uid space)
+        for f in opt.filters:
+            if not _filter_vars(f) <= set(right.columns):
+                raise ValueError(
+                    f"FILTER inside OPTIONAL referencing outer variables is unsupported: {f!r}"
+                )
+            pushed = _push_filter_uid(kg, right, f)
+            if pushed is None:
+                raise ValueError(f"unsupported FILTER inside OPTIONAL: {f!r}")
+            right = pushed
         shared = [c for c in right.columns if c in sols.columns]
         sols = sols.join(right, shared, "left")
+
+    # top-level filters: single-var expressions bind in uid space …
+    post_decode: list[str] = []
+    for f in q.filters:
+        pushed = _push_filter_uid(kg, sols, f)
+        if pushed is not None:
+            sols = pushed
+        else:
+            post_decode.append(f)
 
     var_cols = list(sols.columns)
     decoded = kg.decode_vars(sols, var_cols)
 
-    for f in q.filters:
+    # … multi-var expressions (?a = ?b) run on the decoded strings
+    for f in post_decode:
         decoded = decoded.where(_filter_to_column(f))
 
     if q.aggregates:
@@ -504,3 +581,57 @@ def sparql_construct(kg: KnowledgeGraph, query: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.dropDuplicates()
+
+
+_DESCRIBE_RE = re.compile(r"DESCRIBE\s+([^{]*?)\s*(?:WHERE\s*)?(\{|$)", re.I | re.S)
+
+
+def sparql_describe(kg: KnowledgeGraph, query: str) -> DataFrame:
+    """DESCRIBE <iri>… | DESCRIBE ?v… WHERE { … } → (s, p, o) triples.
+
+    Description semantics: all triples whose SUBJECT is a described
+    resource (the simple/outgoing description oxigraph produces; the
+    reference routes DESCRIBE results through the same graph
+    serializers as CONSTRUCT — src/query.rs:102-176 matches
+    ``QueryResults::Graph`` for both forms).
+
+    The described set is resolved in uid space: constants and solution
+    bindings become a tiny uid table broadcast-semi-joined against the
+    triples' s_id — only the matching triples ever decode to strings.
+    """
+    q = _strip_comments(query)
+    prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(q)}
+    m = _DESCRIBE_RE.search(q)
+    if not m:
+        raise ValueError("not a DESCRIBE query")
+    targets = [t for t in re.findall(r"\?\w+|<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*", m.group(1))]
+    if not targets:
+        raise ValueError("DESCRIBE needs at least one variable or IRI")
+    variables = [t[1:] for t in targets if t.startswith("?")]
+    consts = [_resolve_term(t, prefixes) for t in targets if not t.startswith("?")]
+
+    spark = kg.triples.sparkSession
+    term_parts: list[DataFrame] = []
+    if consts:
+        term_parts.append(spark.createDataFrame([(c,) for c in consts], ["term"]))
+    if variables:
+        if m.group(2) != "{":
+            raise ValueError("DESCRIBE with variables requires a WHERE clause")
+        select_query = (
+            "\n".join(pm.group(0) for pm in _PREFIX_RE.finditer(q))
+            + f"\nSELECT {' '.join('?' + v for v in variables)} "
+            + q[m.end() - 1 :]
+        )
+        sols = sparql_select(kg, select_query)
+        for v in variables:
+            term_parts.append(sols.select(F.col(v).alias("term")).where(F.col("term").isNotNull()))
+    described = term_parts[0]
+    for p in term_parts[1:]:
+        described = described.unionByName(p)
+    uids = kg.term_uids.join(described.distinct(), "term", "left_semi").select(
+        F.col("uid").alias("s_id")
+    )
+    from de_spark.encode import decode_triples
+
+    trip = kg.triples.join(F.broadcast(uids), "s_id", "left_semi")
+    return decode_triples(trip, kg.term_uids).select("s", "p", "o").dropDuplicates()

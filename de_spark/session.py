@@ -59,7 +59,8 @@ def get_spark(
         # GC threads ON TOP of N mutators — on an oversubscribed VM the
         # co-scheduling stalls convoy allocation-heavy stages (measured
         # here: a pure map job ran 3x slower at 24-32 threads than at 12)
-        gc_threads = max(4, min(8, cpus // 2))
+        # floor of 2 so a pinned 2-core leg isn't oversubscribed by GC
+        gc_threads = max(2, min(8, cpus // 2))
         builder = builder.config(
             "spark.driver.extraJavaOptions",
             f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads={max(1, gc_threads // 4)}",

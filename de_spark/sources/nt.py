@@ -22,10 +22,14 @@ from de_spark import terms
 
 # subject: IRI or bnode; predicate: IRI; object: IRI, bnode, or literal
 # (with optional ^^<dt> / @lang suffix).  Comment/blank lines yield no
-# capture and are dropped.
+# capture and are dropped.  An optional 4th term accepts N-Quads lines:
+# the graph term is captured but NOT emitted — quads are demoted to
+# triples, mirroring the reference ("HDT does not support named
+# graphs", src/rdf2nt.rs:89-96).
 _NT_LINE = (
     r'^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+'
-    r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)\s*\.\s*$'
+    r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)'
+    r'(?:\s+(<[^>]*>|_:\S+))?\s*\.\s*$'
 )
 
 

@@ -1,0 +1,121 @@
+"""RDF/XML-subset → triples converter.
+
+The reference routes ``.owl``/``.rdf``/``.xml`` inputs to oxrdfio's
+RdfXml parser (src/rdf2nt.rs:51-65; the ``.owl`` special case at
+:57-60) and re-serializes to N-Triples.  This implements the RDF/XML
+subset ontologies actually ship with:
+
+- ``rdf:RDF`` root (or a single node element as the document element);
+- node elements: ``rdf:Description`` and typed nodes (element name →
+  ``rdf:type`` triple), identified by ``rdf:about`` (absolute IRI),
+  ``rdf:ID`` (resolved against ``xml:base`` / the supplied base) or
+  ``rdf:nodeID`` (blank node); fresh blank node otherwise;
+- property elements: ``rdf:resource`` / ``rdf:nodeID`` object
+  references, nested node elements (recursive), and text literals with
+  ``rdf:datatype`` or ``xml:lang``.
+
+``rdf:parseType`` and reification are outside the subset and rejected
+loudly.  Parsing runs inside ``mapInPandas`` over whole-file rows
+(one file = one row; many files parse in parallel across tasks — same
+batching contract as the Turtle converter).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+
+from de_spark import terms
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+RDF_TYPE = RDF_NS + "type"
+
+_NT_ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\t", "\\t"), ("\r", "\\r")]
+
+
+def _escape_nt(s: str) -> str:
+    for a, b in _NT_ESCAPES:
+        s = s.replace(a, b)
+    return s
+
+
+def _tag_iri(tag: str) -> str:
+    """ElementTree '{ns}local' → RDF/XML striped-syntax IRI ns+local."""
+    if tag.startswith("{"):
+        ns, local = tag[1:].split("}", 1)
+        return ns + local
+    return tag
+
+
+def parse_rdfxml(text: str, base: str = "") -> list[tuple[str, str, str]]:
+    """Parse an RDF/XML-subset document into HDT-convention triples."""
+    root = ET.fromstring(text)
+    base = root.get(f"{{{XML_NS}}}base", base)
+    triples: list[tuple[str, str, str]] = []
+    bnode_counter = [0]
+
+    def fresh_bnode() -> str:
+        bnode_counter[0] += 1
+        return f"_:rx{bnode_counter[0]}"
+
+    def subject_of(elem: ET.Element) -> str:
+        about = elem.get(f"{{{RDF_NS}}}about")
+        if about is not None:
+            return about
+        rid = elem.get(f"{{{RDF_NS}}}ID")
+        if rid is not None:
+            return f"{base}#{rid}"
+        nid = elem.get(f"{{{RDF_NS}}}nodeID")
+        if nid is not None:
+            return f"_:{nid}"
+        return fresh_bnode()
+
+    def walk_node(elem: ET.Element) -> str:
+        subj = subject_of(elem)
+        tag = _tag_iri(elem.tag)
+        if tag != RDF_NS + "Description":
+            triples.append((subj, RDF_TYPE, tag))
+        for prop in elem:
+            p = _tag_iri(prop.tag)
+            if prop.get(f"{{{RDF_NS}}}parseType") is not None:
+                raise ValueError("rdf:parseType is outside the supported RDF/XML subset")
+            res = prop.get(f"{{{RDF_NS}}}resource")
+            nid = prop.get(f"{{{RDF_NS}}}nodeID")
+            dt = prop.get(f"{{{RDF_NS}}}datatype")
+            lang = prop.get(f"{{{XML_NS}}}lang")
+            children = list(prop)
+            if res is not None:
+                triples.append((subj, p, res))
+            elif nid is not None:
+                triples.append((subj, p, f"_:{nid}"))
+            elif children:
+                for child in children:
+                    triples.append((subj, p, walk_node(child)))
+            else:
+                lit = '"' + _escape_nt(prop.text or "") + '"'
+                if dt:
+                    lit += f"^^<{dt}>"
+                elif lang:
+                    lit += f"@{lang}"
+                triples.append((subj, p, lit))
+        return subj
+
+    if _tag_iri(root.tag) == RDF_NS + "RDF":
+        for child in root:
+            walk_node(child)
+    else:
+        walk_node(root)
+    return triples
+
+
+def rdfxml_files_to_triples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (path, content, graph) rows → triples_raw rows."""
+    for pdf in batches:
+        out = []
+        for path, content, graph in zip(pdf["path"], pdf["content"], pdf["graph"]):
+            for s, p, o in parse_rdfxml(content, base=f"file:///{path.rsplit('/', 1)[-1]}"):
+                out.append((s, p, o, terms.classify_py(o), graph))
+        yield pd.DataFrame(out, columns=["s", "p", "o", "o_kind", "graph"])

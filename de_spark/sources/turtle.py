@@ -32,7 +32,7 @@ _TOKEN = re.compile(
       (?P<comment>\#[^\n]*)
     | (?P<iri><[^>]*>)
     | (?P<literal>"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|\^\^[A-Za-z_][\w.-]*:[\w.-]*|@[A-Za-z0-9-]+)?)
-    | (?P<punct>[;,.\[\]])
+    | (?P<punct>[;,.\[\]{}])
     | (?P<kw>@prefix|@base)
     | (?P<bnode>_:[\w-]+)
     | (?P<pname>[A-Za-z_][\w-]*(?:\.[\w-]+)*:[\w-]*(?:\.[\w-]+)*|:[\w-]*(?:\.[\w-]+)*|[A-Za-z_][\w-]*(?:\.[\w-]+)*)
@@ -44,6 +44,19 @@ _TOKEN = re.compile(
 
 def parse_turtle(text: str) -> list[tuple[str, str, str]]:
     """Parse a Turtle-subset document into HDT-convention string triples."""
+    return _parse_turtle_impl(text)[0]
+
+
+def parse_trig(text: str) -> tuple[list[tuple[str, str, str]], bool]:
+    """TriG = Turtle + GRAPH blocks.  Graph names are DEMOTED: every
+    statement lands in the enclosing file's single graph, mirroring the
+    reference's quad→triple demotion with a warning ("HDT does not
+    support named graphs", src/rdf2nt.rs:89-96).  Returns
+    (triples, had_named_graphs)."""
+    return _parse_turtle_impl(text)
+
+
+def _parse_turtle_impl(text: str) -> tuple[list[tuple[str, str, str]], bool]:
     tokens: list[tuple[str, str]] = []
     for m in _TOKEN.finditer(text):
         kind = m.lastgroup
@@ -81,6 +94,7 @@ def parse_turtle(text: str) -> list[tuple[str, str, str]]:
             raise ValueError(f"bare name not supported: {tok!r}")
         raise ValueError(f"unexpected token {kind}:{tok!r}")
 
+    had_graphs = False
     while i < len(tokens):
         kind, tok = tokens[i]
         if kind == "kw" and tok == "@prefix":
@@ -89,6 +103,16 @@ def parse_turtle(text: str) -> list[tuple[str, str, str]]:
             assert tokens[i + 3][1] == ".", "malformed @prefix"
             prefixes[pname] = iri
             i += 4
+            continue
+        # TriG: 'GRAPH <g> { … }' — consume the keyword + graph name;
+        # the braces below are skipped, so the block's statements parse
+        # into the enclosing (single) graph = quad→triple demotion
+        if kind == "pname" and tok == "GRAPH":
+            had_graphs = True
+            i += 2  # skip keyword + graph term
+            continue
+        if kind == "punct" and tok in "{}":
+            i += 1
             continue
         # subject
         subj = resolve(kind, tok)
@@ -114,7 +138,7 @@ def parse_turtle(text: str) -> list[tuple[str, str, str]]:
             if i < len(tokens) and tokens[i][1] == ".":
                 i += 1
             break
-    return triples
+    return triples, had_graphs
 
 
 def turtle_files_to_triples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -66,22 +66,24 @@ def add_graph(spark: SparkSession, base_dir: str, triples_raw: DataFrame) -> Non
     max_uid = uids.agg(F.max("uid").alias("m")).collect()[0]["m"] or 0
 
     flags = position_flags(triples_raw).persist()
+    handles: list[DataFrame] = [flags]
     new_terms = flags.select("term").distinct().join(uids, "term", "left_anti")
-    appended = zip_with_index(new_terms, ["term"], id_col="idx").select(
+    appended = zip_with_index(new_terms, ["term"], id_col="idx", handles=handles).select(
         "term", (F.col("idx") + 1 + F.lit(max_uid)).cast("long").alias("uid")
     )
     appended.write.mode("append").parquet(f"{base_dir}/term_uids")
     all_uids = spark.read.parquet(f"{base_dir}/term_uids")
 
-    build_dictionary(triples_raw, all_uids, flags).write.mode("append").parquet(
-        f"{base_dir}/dict"
-    )
+    build_dictionary(triples_raw, all_uids, flags, handles=handles).write.mode(
+        "append"
+    ).parquet(f"{base_dir}/dict")
     p_vocab = flags.where(F.col("is_p") == 1).select("term").distinct()
     sort_spo(encode_triples(triples_raw, all_uids, p_vocab)).write.mode(
         "append"
     ).partitionBy("graph").parquet(f"{base_dir}/triples")
     void_stats(triples_raw).write.mode("append").parquet(f"{base_dir}/stats")
-    flags.unpersist()
+    for h in handles:
+        h.unpersist()
 
 
 def drop_graph(spark: SparkSession, base_dir: str, graph: str) -> bool:
@@ -104,12 +106,23 @@ def drop_graph(spark: SparkSession, base_dir: str, graph: str) -> bool:
     for d in os.listdir(tdir):
         if d.startswith("graph=") and unquote(d[len("graph="):]) == graph:
             shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
-    # dict/stats: rewrite without the graph (small tables)
+    # dict/stats: rewrite without the graph, staged through a temp dir
+    # then atomically renamed — an in-place overwrite would delete the
+    # source files mid-read (a lost cached partition after the delete
+    # would corrupt the table; Iceberg gets this for free via snapshot
+    # commits, the parquet stand-in must stage explicitly)
     for table in ("dict", "stats"):
-        df = spark.read.parquet(f"{base_dir}/{table}").where(F.col("graph") != graph)
-        df.cache().count()
-        df.write.mode("overwrite").parquet(f"{base_dir}/{table}")
-        df.unpersist()
+        final = f"{base_dir}/{table}"
+        tmp = f"{base_dir}/.{table}.staging"
+        old = f"{base_dir}/.{table}.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        spark.read.parquet(final).where(F.col("graph") != graph).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
     return True
 
 

@@ -53,6 +53,45 @@ ex:Fruit rdf:type rdfs:Class;
              rdfs:label "Fruit".
 """
 
+# apple.ttl re-expressed in RDF/XML (typed node + rdf:Description +
+# rdf:resource + rdf:datatype) — must parse to the SAME triple set
+APPLE_RDFXML = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:ex="http://example.org/">
+  <ex:Fruit rdf:about="http://example.org/Apple">
+    <rdfs:label>Apple</rdfs:label>
+    <ex:variety>Red Delicious</ex:variety>
+    <ex:hasColor>Red</ex:hasColor>
+    <ex:weight>150 grams</ex:weight>
+    <ex:origin>United States</ex:origin>
+    <ex:isOrganic rdf:datatype="http://www.w3.org/2001/XMLSchema#boolean">true</ex:isOrganic>
+  </ex:Fruit>
+  <rdf:Description rdf:about="http://example.org/Fruit">
+    <rdf:type rdf:resource="http://www.w3.org/2000/01/rdf-schema#Class"/>
+    <rdfs:label>Fruit</rdfs:label>
+  </rdf:Description>
+</rdf:RDF>
+"""
+
+# TriG: named-graph blocks demote to plain triples (with a warning)
+FRUIT_TRIG = """\
+@prefix ex: <http://example.org/>.
+GRAPH ex:g1 { ex:Apple ex:hasColor "Red" . }
+GRAPH <http://example.org/g2> {
+  ex:Banana ex:hasColor "yellow" ;
+            a ex:Fruit .
+}
+ex:Cherry ex:hasColor "red" .
+"""
+
+# N-Quads: 4th (graph) term demoted
+FRUIT_NQ = """\
+<http://example.org/A> <http://example.org/p> "x" <http://example.org/g> .
+<http://example.org/A> <http://example.org/p> <http://example.org/B> .
+"""
+
 QUERY_COLOR_RQ = """\
 PREFIX ex: <http://example.org/>
 PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>

@@ -1,6 +1,12 @@
 from pyspark.sql import functions as F
 
-from de_spark.dictionary import build_dictionary, build_term_uids, zip_with_index
+from de_spark.dictionary import (
+    build_dict_and_uids,
+    build_dictionary,
+    build_term_uids,
+    position_flags,
+    zip_with_index,
+)
 from de_spark.encode import decode_triples, encode_triples
 from de_spark.sources.turtle import parse_turtle, turtle_files_to_triples
 from de_spark.sources.nt import triples_from_nt_text
@@ -68,6 +74,42 @@ def test_encode_decode_roundtrip(spark):
     orig = {(r["s"], r["p"], r["o"]) for r in raw.collect()}
     back = {(r["s"], r["p"], r["o"]) for r in dec.collect()}
     assert orig == back
+
+
+def test_fused_dict_and_uids_single_pass(spark):
+    """build_dict_and_uids: same sec_ids as the two-pass path; uids are
+    unique, deterministic, and equal to 1 + the term's min global index
+    in (graph, sec_ord, term) order."""
+    raw = apple_raw(spark)
+    d1, u1 = build_dict_and_uids(position_flags(raw))
+    dict_rows = d1.collect()
+    uid_rows = {r["term"]: r["uid"] for r in u1.collect()}
+
+    # sec_ids identical to the standalone dictionary path
+    d2 = build_dictionary(raw, build_term_uids(raw))
+    ids1 = {(r["graph"], r["section"], r["term"]): r["sec_id"] for r in dict_rows}
+    ids2 = {(r["graph"], r["section"], r["term"]): r["sec_id"] for r in d2.collect()}
+    assert ids1 == ids2
+
+    # uid = 1 + min global index over the term's dict rows
+    order = {"so": 0, "s": 1, "o": 2, "p": 3}
+    layout = sorted(
+        (r["graph"], order[r["section"]], r["term"]) for r in dict_rows
+    )
+    expect = {}
+    for i, (_, _, term) in enumerate(layout):
+        expect.setdefault(term, i + 1)
+    assert uid_rows == expect
+    assert len(set(uid_rows.values())) == len(uid_rows)  # unique
+
+    # dict rows carry the same uid per term
+    for r in dict_rows:
+        assert uid_rows[r["term"]] == r["uid"]
+
+    # encode/decode round-trip through the fused uids
+    enc = encode_triples(raw, u1)
+    back = {(r["s"], r["p"], r["o"]) for r in decode_triples(enc, u1).collect()}
+    assert back == {(r["s"], r["p"], r["o"]) for r in raw.collect()}
 
 
 def test_uids_are_dense_and_deterministic(spark):

@@ -218,6 +218,53 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_salts > 1  # one hot key really does fan out
 
 
+def test_embedding_neardup_lsh_matches_bruteforce(embeddings):
+    """The bucketed near-dup path (contract params) must reproduce the
+    brute-force pair set exactly — false positives are impossible by
+    construction; misses are ~4e-9/pair at these probe params."""
+    exact = {
+        (r["a"], r["b"], r["cosine"])
+        for r in dedup.embedding_neardup_pairs(embeddings, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r["a"], r["b"], r["cosine"])
+        for r in dedup.embedding_neardup_lsh(
+            embeddings, threshold=0.4, n_planes=4, n_tables=10, multiprobe_hamming=2
+        ).collect()
+    }
+    assert bucketed == exact and len(exact) > 0
+    # and the plan must not contain a cartesian product
+    plan = dedup.embedding_neardup_lsh(
+        embeddings, threshold=0.4, n_planes=4, n_tables=10, multiprobe_hamming=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multi_table_signatures_single_scan(embeddings):
+    """All-tables signatures agree with per-table signatures, from one
+    projection (exactly one scan of the input in the plan)."""
+    one = similarity.multi_table_signatures(embeddings, n_planes=6, n_tables=3, dim=64)
+    got = {(r["vec_id"], r["table"]): r["bucket"] for r in one.collect()}
+    for t in range(3):
+        per = similarity.hyperplane_signatures(embeddings, n_planes=6, dim=64, seed=42 + t * 1000)
+        for r in per.collect():
+            assert got[(r["vec_id"], t)] == r["bucket"]
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_ivf_plan_size_flat_in_n_lists(embeddings):
+    """Centroids are a broadcast DataFrame, never inlined: the
+    assignment plan must not grow with n_lists (round-1 regression:
+    literal when-chains made the plan O(n_lists·dim))."""
+    sizes = {}
+    for k in (4, 64):
+        cents, assigned = similarity.ivf_build(embeddings, n_lists=k, iters=0)
+        sizes[k] = len(assigned._jdf.queryExecution().executedPlan().toString())
+        assigned.unpersist()
+    assert sizes[64] < sizes[4] * 1.5, sizes
+
+
 def test_ivf_topk_recall(embeddings):
     cents, assigned = similarity.ivf_build(embeddings, n_lists=8, iters=2)
     assigned = assigned.cache()

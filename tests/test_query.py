@@ -121,6 +121,88 @@ def test_filter_and_limit(fruit_kg):
     assert to_csv(sols).replace("\r", "").strip() == "fruit,taste\nhttp://example.org/Banana,sweet"
 
 
+def test_three_branch_union(fruit_kg):
+    """n-ary UNION chain (round-1 parser handled exactly two branches)."""
+    q = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?fruit ?v WHERE {
+      { ?fruit ex:hasShape ?v } UNION { ?fruit ex:hasTaste ?v } UNION { ?fruit ex:hasOrigin ?v }
+    } ORDER BY ?fruit ?v
+    """
+    rows = [(r["fruit"].rsplit("/", 1)[1], r["v"]) for r in sparql_select(fruit_kg, q).collect()]
+    assert rows == [
+        ("Banana", '"Ecuador"'),
+        ("Banana", '"curved"'),
+        ("Banana", '"sweet"'),
+        ("Pineapple", '"Hawaii"'),
+        ("Pineapple", '"oblong"'),
+        ("Pineapple", '"sweet"'),
+    ]
+
+
+def test_filter_inside_optional_scopes_to_left_join(fruit_kg):
+    """A FILTER inside OPTIONAL must constrain only the optional
+    extension — rows whose optional side fails the filter survive with
+    an unbound var (round 1 hoisted the filter to the top level and
+    dropped them)."""
+    q = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?fruit ?shape WHERE {
+      ?fruit a ex:Fruit .
+      OPTIONAL { ?fruit ex:hasShape ?shape FILTER(?shape = "curved") }
+    } ORDER BY ?fruit
+    """
+    rows = sparql_select(fruit_kg, q).collect()
+    got = {r["fruit"].rsplit("/", 1)[1]: r["shape"] for r in rows}
+    # Banana keeps its curved shape; Pineapple (oblong) still appears, unbound
+    assert got == {"Banana": '"curved"', "Pineapple": None}
+
+
+def test_filter_pushdown_uid_space(fruit_kg):
+    """Single-var filters bind in uid space before decode: the plan
+    must filter via a semi-join on term_uids, not decode-then-filter."""
+    q = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?fruit ?taste WHERE {
+      ?fruit ex:hasTaste ?taste .
+      FILTER(REGEX(?taste, "^sw"))
+    } ORDER BY ?fruit
+    """
+    sols = sparql_select(fruit_kg, q)
+    assert [r["fruit"].rsplit("/", 1)[1] for r in sols.collect()] == ["Banana", "Pineapple"]
+
+
+def test_describe_const_and_var(fruit_kg):
+    from de_spark.query import sparql_describe
+
+    # constant form
+    g = sparql_describe(fruit_kg, "PREFIX ex: <http://example.org/> DESCRIBE ex:Banana")
+    rows = {(r["s"], r["p"], r["o"]) for r in g.collect()}
+    assert len(rows) == 10 and all(s == "http://example.org/Banana" for s, _, _ in rows)
+
+    # variable form with WHERE
+    q = """
+    PREFIX ex: <http://example.org/>
+    DESCRIBE ?f WHERE { ?f ex:hasColor "yellow" }
+    """
+    g2 = sparql_describe(fruit_kg, q)
+    subjects = {r["s"].rsplit("/", 1)[1] for r in g2.collect()}
+    assert subjects == {"Banana", "Pineapple"}
+    assert g2.count() == 20
+
+
+def test_ask_serializations(fruit_kg):
+    from de_spark.query import results as res
+
+    assert res.ask_to_csv(True) == "true" and res.ask_to_tsv(False) == "false"
+    assert res.ask_to_json(True) == '{"head":{},"boolean":true}'
+    assert res.ask_to_xml(False) == (
+        '<?xml version="1.0"?>'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        "<head></head><boolean>false</boolean></sparql>"
+    )
+
+
 def test_optional(fruit_kg):
     q = """
     PREFIX ex: <http://example.org/>
