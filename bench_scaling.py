@@ -40,7 +40,9 @@ from de_spark.extract import extract_code_triples
 from de_spark.pipeline import build
 
 cpus, sf = int(sys.argv[1]), float(sys.argv[2])
-spark = get_spark(f"scale{{cpus}}", cpus=cpus, shuffle_partitions=cpus)
+# 4 shuffle partitions per core: stragglers on a pinned leg hurt the
+# wide leg disproportionately; AQE coalesces the small ones back
+spark = get_spark(f"scale{{cpus}}", cpus=cpus, shuffle_partitions=4 * cpus)
 out = tempfile.mkdtemp(prefix="de_scale_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 t0 = time.monotonic()
 kg, stages = build(extract_code_triples(generate_corpus(spark, sf)), out)

@@ -13,7 +13,11 @@ Emitted entity/edge vocabulary (our KG schema over code):
   repo   —  rdf:type code:Repository
   file   —  rdf:type code:File; code:inRepo repo; code:lang "…";
             code:commit "…"; code:sha256 "…" (the ingest invariant,
-            computed JVM-side with F.sha2 before the UDF boundary);
+            hashed with hashlib INSIDE the Arrow batch in each Python
+            worker — deliberately not F.sha2, whose per-row
+            MessageDigest.getInstance serializes all JVM threads on
+            the provider lock; JVM-parity is pinned by
+            tests/test_extract.py::test_sha256_invariant);
             code:imports module  (hub predicate — skewed)
   fn     —  rdf:type code:Function (hub object); code:definedIn file;
             code:calls fn        (call edge)

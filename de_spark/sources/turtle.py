@@ -114,9 +114,13 @@ def _parse_turtle_impl(text: str) -> tuple[list[tuple[str, str, str]], bool]:
         if kind == "punct" and tok in "{}":
             i += 1
             continue
-        # subject
+        # subject — unless followed by '{': then it is a TriG graph
+        # label ('<g> { … }' block form) and is demoted like GRAPH
         subj = resolve(kind, tok)
         i += 1
+        if i < len(tokens) and tokens[i][1] == "{":
+            had_graphs = True
+            continue
         while True:  # predicate lists separated by ';'
             pred = resolve(*tokens[i])
             i += 1

@@ -74,6 +74,15 @@ def ntriples_form(term: Column) -> Column:
     return sparql_tsv_form(term)
 
 
+def unescape_nt(col: Column) -> Column:
+    """Column twin of :func:`unescape_nt_py` — NT escape sequences back
+    to raw characters (JVM-side, for non-NT serializers)."""
+    out = F.replace(col, F.lit("\\\\"), F.lit("\x00"))
+    for a, b in (('\\"', '"'), ("\\n", "\n"), ("\\t", "\t"), ("\\r", "\r"), ("\x00", "\\")):
+        out = F.replace(out, F.lit(a), F.lit(b))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Plain-Python versions — driver-side emitters / tests.
 # ---------------------------------------------------------------------------
@@ -101,6 +110,21 @@ def unescape_nt_py(s: str) -> str:
     for a, b in _NT_UNESCAPES:
         s = s.replace(a, b)
     return s
+
+
+def escape_nt_py(s: str) -> str:
+    """Inverse of :func:`unescape_nt_py` (raw chars → NT escapes)."""
+    for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\t", "\\t"), ("\r", "\\r")):
+        s = s.replace(a, b)
+    return s
+
+
+def sparql_tsv_form_py(term: str) -> str:
+    """Python twin of :func:`sparql_tsv_form` / :func:`ntriples_form`:
+    IRIs in <>, literals and bnodes as-is."""
+    if term.startswith('"') or term.startswith("_"):
+        return term
+    return f"<{term}>"
 
 
 def literal_parts_py(term: str) -> tuple[str, str | None, str | None]:

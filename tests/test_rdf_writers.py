@@ -31,6 +31,37 @@ def test_nquads_has_graph_term(spark):
     assert line.endswith("<file:///banana.hdt> .")
 
 
+def test_rdfxml_roundtrip(spark):
+    """RDF/XML writer → RDF/XML parser recovers the exact triple set
+    (S10 parity: the reference emits RdfXml via oxrdfio,
+    src/query.rs:155-175)."""
+    from de_spark.sources.rdf_writers import rdfxml_string
+    from de_spark.sources.rdfxml import parse_rdfxml
+
+    extra = (
+        '<http://example.org/B> <http://example.org/note> "line1\\nline2 & <tag>" .\n'
+        '<http://example.org/B> <http://example.org/label> "hola"@es .\n'
+        "_:b0 <http://example.org/ref> _:b1 .\n"
+    )
+    raw = triples_from_nt_text(spark, BANANA_NT + extra, "g")
+    doc = rdfxml_string(raw)
+    orig = {(r["s"], r["p"], r["o"]) for r in raw.collect()}
+    assert set(parse_rdfxml(doc)) == orig
+
+
+def test_trig_lines_parse_back(spark):
+    from de_spark.sources.rdf_writers import render_trig_lines
+    from de_spark.sources.turtle import parse_trig
+
+    raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt")
+    lines = [r["line"] for r in render_trig_lines(raw).collect()]
+    assert all(line.startswith("<file:///banana.hdt> { ") for line in lines)
+    triples, had_graphs = parse_trig("\n".join(lines))
+    assert had_graphs is True  # '<g> { … }' label form is also demoted
+    orig = {(r["s"], r["p"], r["o"]) for r in raw.collect()}
+    assert set(triples) == orig
+
+
 def test_turtle_grouping_parses_back(spark):
     raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt")
     lines = [r["line"] for r in render_turtle_lines(raw).collect()]
