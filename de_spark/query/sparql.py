@@ -308,6 +308,16 @@ _ISKIND_RE = re.compile(r"^\s*(!)?\s*(isIRI|isURI|isLiteral|isBlank)\s*\(\s*\?(\
 _FN_CMP_RE = re.compile(
     r'^\s*(LANG|DATATYPE|STR)\s*\(\s*\?(\w+)\s*\)\s*(=|!=)\s*(.+?)\s*$', re.I
 )
+_STRFN_RE = re.compile(
+    r'^\s*(!)?\s*(STRSTARTS|STRENDS|CONTAINS)\s*\(\s*(?:STR\s*\(\s*)?\?(\w+)\s*\)?\s*,'
+    r'\s*"((?:[^"\\]|\\.)*)"\s*\)\s*$',
+    re.I,
+)
+_STRLEN_RE = re.compile(
+    r"^\s*STRLEN\s*\(\s*(?:STR\s*\(\s*)?\?(\w+)\s*\)?\s*\)\s*(=|!=|<=|>=|<|>)\s*(\d+)\s*$",
+    re.I,
+)
+_IN_RE = re.compile(r"^\s*\?(\w+)\s+(NOT\s+)?IN\s*\(([^)]*)\)\s*$", re.I)
 
 
 def _filter_to_column(expr: str, prefixes: dict[str, str] | None = None):
@@ -352,6 +362,33 @@ def _filter_to_column(expr: str, prefixes: dict[str, str] | None = None):
             rv = rhs
         c = lhs == F.lit(rv)
         return c if op == "=" else ~c
+    m = _STRFN_RE.match(expr)
+    if m:
+        neg, fn, var, arg = m.group(1), m.group(2).lower(), m.group(3), m.group(4)
+        lhs = terms.sparql_csv_form(F.col(var))
+        c = {
+            "strstarts": lhs.startswith(arg),
+            "strends": lhs.endswith(arg),
+            "contains": lhs.contains(arg),
+        }[fn]
+        return ~c if neg else c
+    m = _STRLEN_RE.match(expr)
+    if m:
+        var, op, n = m.group(1), m.group(2), int(m.group(3))
+        lhs = F.length(terms.sparql_csv_form(F.col(var)))
+        rv = F.lit(n)
+        return {
+            "=": lhs == rv, "!=": lhs != rv, "<": lhs < rv,
+            "<=": lhs <= rv, ">": lhs > rv, ">=": lhs >= rv,
+        }[op]
+    m = _IN_RE.match(expr)
+    if m:
+        var, neg, items = m.group(1), m.group(2), m.group(3)
+        vals = []
+        for tok in re.findall(r'<[^>]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?', items):
+            vals.append(tok[1:-1] if tok.startswith("<") else tok)
+        c = F.col(var).isin(vals)
+        return ~c if neg else c
     m = _CMP_RE.match(expr)
     if m:
         var, op, rhs = m.groups()

@@ -126,5 +126,40 @@ def drop_graph(spark: SparkSession, base_dir: str, graph: str) -> bool:
     return True
 
 
+def sync_dir(spark: SparkSession, base_dir: str, rdf_dir: str) -> tuple[list[str], list[str]]:
+    """Directory sync (reference ``AggregateHdt::sync``,
+    src/sparql.rs:235-294, invoked per HTTP request at
+    src/serve.rs:159-161): diff the RDF files on disk against the
+    registered graphs — new files become new named graphs
+    (``file:///<name>``), graphs whose file vanished are dropped.
+
+    Returns (added_graphs, dropped_graphs).
+    """
+    import os
+
+    from de_spark.sources.nt import graph_iri_for_file
+    from de_spark.sources.router import read_rdf
+
+    rdf_exts = {".nt", ".ntriples", ".nq", ".nquads", ".ttl", ".turtle", ".n3",
+                ".trig", ".rdf", ".owl", ".xml"}
+    on_disk = {
+        graph_iri_for_file(f): os.path.join(rdf_dir, f)
+        for f in sorted(os.listdir(rdf_dir))
+        if os.path.splitext(f)[1].lower() in rdf_exts
+    }
+    registered = _graphs(spark, base_dir)
+
+    added, dropped = [], []
+    new_paths = [p for g, p in on_disk.items() if g not in registered]
+    if new_paths:
+        raw, _, _ = read_rdf(spark, new_paths)
+        add_graph(spark, base_dir, raw)
+        added = sorted(set(on_disk) - registered)
+    for g in sorted(registered - set(on_disk)):
+        if drop_graph(spark, base_dir, g):
+            dropped.append(g)
+    return added, dropped
+
+
 def load(spark: SparkSession, base_dir: str) -> KnowledgeGraph:
     return KnowledgeGraph.load(spark, base_dir)

@@ -191,6 +191,28 @@ def test_describe_const_and_var(fruit_kg):
     assert g2.count() == 20
 
 
+def test_filter_function_library(fruit_kg):
+    """STRSTARTS/STRENDS/CONTAINS/STRLEN/IN over the fruit KG."""
+    base = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?fruit ?shape WHERE {{ ?fruit ex:hasShape ?shape . FILTER({f}) }} ORDER BY ?fruit
+    """
+
+    def fruits(f):
+        q = base.format(f=f)
+        return [r["fruit"].rsplit("/", 1)[1] for r in sparql_select(fruit_kg, q).collect()]
+
+    assert fruits('STRSTARTS(?shape, "cur")') == ["Banana"]
+    assert fruits('!STRSTARTS(?shape, "cur")') == ["Pineapple"]
+    assert fruits('STRENDS(?shape, "long")') == ["Pineapple"]
+    assert fruits('CONTAINS(?shape, "rve")') == ["Banana"]
+    assert fruits("STRLEN(?shape) = 6") == ["Banana", "Pineapple"]
+    assert fruits("STRLEN(?shape) < 6") == []
+    assert fruits('?shape IN ("curved", "square")') == ["Banana"]
+    assert fruits('?shape NOT IN ("curved")') == ["Pineapple"]
+    assert fruits('?fruit IN (<http://example.org/Pineapple>)') == ["Pineapple"]
+
+
 def test_ask_serializations(fruit_kg):
     from de_spark.query import results as res
 

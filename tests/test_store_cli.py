@@ -64,6 +64,36 @@ def test_add_and_drop_graph(spark, tmp_path):
     assert store.drop_graph(spark, base, "file:///nope.hdt") is False
 
 
+def test_sync_dir(spark, tmp_path):
+    """S8 directory sync: new file → new graph; removed file → graph
+    dropped (reference src/sparql.rs:235-294)."""
+    import os
+
+    rdf_dir = tmp_path / "rdf"
+    os.makedirs(rdf_dir)
+    (rdf_dir / "banana.nt").write_text(BANANA_NT)
+    base = str(tmp_path / "store")
+    raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.nt")
+    build(raw, base)
+
+    # in sync: nothing changes
+    assert store.sync_dir(spark, base, str(rdf_dir)) == ([], [])
+
+    # add a file → new graph appears
+    (rdf_dir / "pineapple.ttl").write_text(PINEAPPLE_TTL)
+    added, dropped = store.sync_dir(spark, base, str(rdf_dir))
+    assert added == ["file:///pineapple.ttl"] and dropped == []
+    kg = store.load(spark, base)
+    assert kg.pattern(graph="file:///pineapple.ttl").count() == 12
+
+    # remove the original file → its graph is dropped
+    os.remove(rdf_dir / "banana.nt")
+    added, dropped = store.sync_dir(spark, base, str(rdf_dir))
+    assert added == [] and dropped == ["file:///banana.nt"]
+    kg = store.load(spark, base)
+    assert {r["graph"] for r in kg.stats.collect()} == {"file:///pineapple.ttl"}
+
+
 def test_cli_create_view_query(spark, tmp_path, capsys):
     import os
 
