@@ -1,17 +1,25 @@
 """SPARQL-lite: parser + executor for the subset the reference's own
 query corpus exercises (SURVEY.md §7 risk 5): PREFIX, SELECT
-[DISTINCT] vars|*, WHERE { BGP with ';'/',' continuations, FILTER,
-OPTIONAL { BGP }, UNION between groups }, ORDER BY [ASC|DESC](?v),
-LIMIT, OFFSET, plus ASK.  The reference gets full SPARQL 1.1 from
-oxigraph's spareval (src/sparql.rs:516-521); everything beyond this
-subset (property paths, subqueries, CONSTRUCT graphs beyond NT,
-aggregates-in-SPARQL) is declared P2 — the DataFrame layer underneath
-already supports the relational equivalents directly.
+[DISTINCT] vars|*, WHERE { BGP with ';'/',' continuations, FILTER
+(incl. scoped inside OPTIONAL), OPTIONAL { BGP }, n-ary UNION chains },
+ORDER BY [ASC|DESC](?v), LIMIT, OFFSET, GROUP BY + aggregates, plus
+ASK, CONSTRUCT and DESCRIBE.  The reference gets full SPARQL 1.1 from
+oxigraph's spareval (src/sparql.rs:516-521); what remains beyond this
+subset (property paths, subqueries, nested group graph patterns) is
+declared P2 — the DataFrame layer underneath already supports the
+relational equivalents directly.
 
-Execution: BGP → compile_bgp (uid joins) → decode variables to term
-strings → FILTER as Catalyst predicates → DISTINCT/ORDER/LIMIT.
-FILTER/ORDER run on decoded strings, matching the reference's
-string-typed term ordering (SURVEY.md §2.6 O1).
+FILTER library: comparisons (term/numeric), REGEX, BOUND,
+isIRI/isURI/isLiteral/isBlank, LANG/DATATYPE/STR equality,
+STRSTARTS/STRENDS/CONTAINS, STRLEN comparisons, IN/NOT IN, &&/||.
+
+Execution: BGP → compile_bgp (uid joins) → single-variable FILTERs
+bound in UID SPACE (predicate evaluated over the vocabulary-sized
+term_uids table, broadcast semi-join into the solutions — the large
+intermediate never decodes just to be filtered) → decode variables to
+term strings → multi-var FILTERs as Catalyst predicates →
+DISTINCT/ORDER/LIMIT.  ORDER runs on decoded strings, matching the
+reference's string-typed term ordering (SURVEY.md §2.6 O1).
 """
 
 from __future__ import annotations

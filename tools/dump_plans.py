@@ -19,6 +19,14 @@ SHOW = [
     ("q5_region_revenue", "6-way star join (dims broadcast, fact never re-shuffled needlessly)"),
     ("dedup_minhash_lsh", "banded LSH bucket self-join (no O(n^2) cross product)"),
     ("q1_pricing_summary", "scan + partial/final agg (whole-stage codegen span)"),
+    ("embedding_neardup", "LSH-bucketed near-dup: NO CartesianProduct/BroadcastNestedLoopJoin node"),
+    (
+        "ann_ivf_topk",
+        "IVF probe: the BroadcastNestedLoopJoin here is the INTENDED n-rows x "
+        "k-broadcast-centroids expansion (centroid table is a few MB even at 4k "
+        "lists), immediately collapsed by the map-side max_by partial aggregate; "
+        "plan size flat in n_lists",
+    ),
 ]
 
 
