@@ -75,6 +75,18 @@ def _kg_bgp_mentions(spark, sf_dir):
     return kg.decode_vars(sols, ["doc"])
 
 
+def _kg_path_comention(spark, sf_dir):
+    """Property path (sequence + inverse): documents sharing a mention
+    with doc/0 — `<doc/0> code:mentions/^code:mentions ?other`, bag
+    semantics (multiplicity = number of shared words), engine path
+    compiler (de_spark.query.bgp._path_pairs)."""
+    kg = documents_kg(spark, sf_dir)
+    pat = TriplePattern(
+        ENT + "doc/0", f"path:<{CODE}mentions>/^<{CODE}mentions>", "?other"
+    )
+    return kg.decode_vars(compile_bgp(kg, [pat]), ["other"])
+
+
 def _kg_mentions_degree(spark, sf_dir):
     """Hub-degree profile of the mentions predicate (the skew surface)."""
     t = documents_triples(spark, sf_dir)
@@ -283,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_encoded": _kg_triples_encoded,
         "kg_stats_void": _kg_stats_void,
         "kg_bgp_mentions": _kg_bgp_mentions,
+        "kg_path_comention": _kg_path_comention,
         "kg_mentions_degree": _kg_mentions_degree,
         # relational operators
         "q1_pricing_summary": _q1_pricing_summary,
@@ -511,6 +524,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.p = '{CODE}mentions' AND a.o = '{ENT}word/window'
           AND b.p = '{CODE}mentions' AND b.o = '{ENT}word/stream'
           AND c.p = '{CODE}lang' AND c.o = '"en"'
+        """,
+        "kg_path_comention": TRIPLES_SQL
+        + f"""
+        SELECT b.s AS other
+        FROM triples a JOIN triples b ON a.o = b.o
+        WHERE a.p = '{CODE}mentions' AND b.p = '{CODE}mentions'
+          AND a.s = '{ENT}doc/0'
         """,
         "kg_mentions_degree": TRIPLES_SQL
         + f"""

@@ -20,6 +20,7 @@ de_spark.dictionary docstring).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -31,11 +32,20 @@ from de_spark.graph import KnowledgeGraph
 @dataclass(frozen=True)
 class TriplePattern:
     """Each position is '?name' for a variable or an HDT-convention
-    constant term string."""
+    constant term string.  The predicate may also be a PROPERTY PATH,
+    encoded as ``path:<expr>`` with IRIs in angle brackets and the
+    operators ``/`` (sequence), ``|`` (alternative), ``^`` (inverse),
+    ``+`` (one-or-more) — e.g. ``path:<http://a>/^<http://b>+``.
+    The reference gets full SPARQL 1.1 paths from spareval
+    (src/sparql.rs:520); this covers the closure-bearing core
+    (``*``/``?`` zero-length paths are rejected loudly)."""
 
     s: str
     p: str
     o: str
+
+    def is_path(self) -> bool:
+        return self.p.startswith("path:")
 
     def vars(self) -> list[str]:
         return [t[1:] for t in (self.s, self.p, self.o) if t.startswith("?")]
@@ -49,9 +59,139 @@ class TriplePattern:
         return (-self.bound_count(), -bound[2], -bound[1], -bound[0])
 
 
+# ---------------------------------------------------------------------------
+# Property paths (SPARQL 1.1 subset: / | ^ + over IRIs)
+# ---------------------------------------------------------------------------
+
+_PATH_ATOM = re.compile(r"\s*(\^)?\s*<([^>]*)>\s*(\+)?\s*")
+_CLOSURE_MAX_ITERS = 64
+
+
+def _split_top(expr: str, op: str) -> list[str]:
+    """Split on ``op`` at paren depth 0, never inside <IRI> brackets
+    (IRIs contain '/' and may contain '|')."""
+    parts, depth, cur = [], 0, []
+    in_iri = False
+    for ch in expr:
+        if ch == "<":
+            in_iri = True
+        elif ch == ">":
+            in_iri = False
+        elif not in_iri:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == op and depth == 0 and not in_iri:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _transitive_closure(pairs: DataFrame) -> DataFrame:
+    """One-or-more closure via semi-naive iteration: each round joins
+    only the NEW frontier against the base relation, dedups against
+    everything seen, and stops when the frontier drains.  Both sides
+    stay uid-typed longs; each round is one hash join + one anti join
+    (the standard distributed Datalog evaluation — no driver-side
+    row movement, only an emptiness probe per round)."""
+    base = pairs.dropDuplicates().persist()
+    total = base
+    frontier = base
+    for _ in range(_CLOSURE_MAX_ITERS):
+        nxt = (
+            frontier.alias("f")
+            .join(base.alias("p"), F.col("f.b") == F.col("p.a"))
+            .select(F.col("f.a").alias("a"), F.col("p.b").alias("b"))
+            .dropDuplicates()
+        )
+        new = nxt.join(total, ["a", "b"], "left_anti").persist()
+        if new.isEmpty():
+            break
+        total = total.unionByName(new).persist()
+        frontier = new
+    else:
+        raise ValueError(f"path closure did not converge in {_CLOSURE_MAX_ITERS} rounds")
+    return total
+
+
+def _path_pairs(kg: KnowledgeGraph, expr: str) -> DataFrame:
+    """Compile a normalized path expression to (a, b) uid pairs."""
+    expr = expr.strip()
+    # bag semantics for | and / (SPARQL PathAlt/PathSequence); only the
+    # + closure is set-based (ArbitraryLengthPath), per SPARQL 1.1
+    alts = _split_top(expr, "|")
+    if len(alts) > 1:
+        out = _path_pairs(kg, alts[0])
+        for alt in alts[1:]:
+            out = out.unionByName(_path_pairs(kg, alt))
+        return out
+    seq = _split_top(expr, "/")
+    if len(seq) > 1:
+        out = _path_pairs(kg, seq[0])
+        for step in seq[1:]:
+            nxt = _path_pairs(kg, step)
+            out = (
+                out.alias("l")
+                .join(nxt.alias("r"), F.col("l.b") == F.col("r.a"))
+                .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+            )
+        return out
+    # atom: [^] ( <iri> | (expr) ) [+]
+    inv = expr.startswith("^")
+    if inv:
+        expr = expr[1:].strip()
+    plus = expr.endswith("+")
+    if plus:
+        expr = expr[:-1].strip()
+    if expr.startswith("(") and expr.endswith(")"):
+        pairs = _path_pairs(kg, expr[1:-1])
+    else:
+        m = _PATH_ATOM.fullmatch(expr)
+        if not m:
+            raise ValueError(f"unsupported property path atom: {expr!r}")
+        inv = inv or bool(m.group(1))
+        plus = plus or bool(m.group(3))
+        pairs = kg.pattern(p=m.group(2)).select(
+            F.col("s_id").alias("a"), F.col("o_id").alias("b")
+        )
+    if inv:
+        pairs = pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    if plus:
+        pairs = _transitive_closure(pairs)
+    return pairs
+
+
+def _compile_path(kg: KnowledgeGraph, pat: TriplePattern) -> DataFrame:
+    """Path pattern → DataFrame of the pattern's variable columns."""
+    pairs = _path_pairs(kg, pat.p[len("path:"):])
+    for col, term in (("a", pat.s), ("b", pat.o)):
+        if not term.startswith("?"):
+            uid = kg.term_uids.where(F.col("term") == term).select(
+                F.col("uid").alias(col)
+            )
+            pairs = pairs.join(F.broadcast(uid), col, "left_semi")
+    cols = []
+    if pat.s.startswith("?"):
+        cols.append(F.col("a").alias(pat.s[1:]))
+    if pat.o.startswith("?"):
+        if pat.o == pat.s:
+            pairs = pairs.where(F.col("a") == F.col("b"))
+        else:
+            cols.append(F.col("b").alias(pat.o[1:]))
+    if not cols:
+        return pairs.select(F.lit(1).alias("__exists")).limit(1)
+    return pairs.select(*cols)
+
+
 def _compile_one(kg: KnowledgeGraph, pat: TriplePattern) -> DataFrame:
     """One pattern → DataFrame whose columns are the pattern's variable
     names (uid-valued)."""
+    if pat.is_path():
+        return _compile_path(kg, pat)
     df = kg.pattern(
         s=None if pat.s.startswith("?") else pat.s,
         p=None if pat.p.startswith("?") else pat.p,
@@ -83,7 +223,9 @@ def compile_bgp(kg: KnowledgeGraph, patterns: list[TriplePattern]) -> DataFrame:
     table (plan-time lookup), so a hub predicate like rdf:type sinks to
     the end of the join chain; the static bound-position heuristic
     breaks ties and covers stat-less patterns."""
-    pred_terms = [p.p for p in patterns if not p.p.startswith("?")]
+    pred_terms = [
+        p.p for p in patterns if not p.p.startswith("?") and not p.is_path()
+    ]
     cards = kg.predicate_cardinalities(pred_terms)
     big = (max(cards.values()) + 1) if cards else 1
 

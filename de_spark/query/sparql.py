@@ -135,8 +135,75 @@ def _resolve_term(tok: str, prefixes: dict[str, str]) -> str:
     return prefixes[pfx] + local
 
 
+_PATH_ATOM_TOK = re.compile(r"<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*|a(?![\w:])")
+
+
+def _try_parse_path(body: str, pos: int, prefixes: dict[str, str]) -> tuple[str | None, int]:
+    """Try to read a property-path expression (/, |, ^, +, parens) at
+    ``pos``.  Returns (normalized "path:…" string, new pos) or
+    (None, pos) when the token is a plain term.  Zero-length operators
+    * and ? are rejected loudly (a '?' followed by a name char is the
+    next VARIABLE, not a path op)."""
+    i, out, depth = pos, [], 0
+    has_op = False
+    expect_atom = True
+    n = len(body)
+    while i < n:
+        while i < n and body[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        ch = body[i]
+        if expect_atom:
+            if ch == "^":
+                out.append("^")
+                has_op = True
+                i += 1
+                continue
+            if ch == "(":
+                out.append("(")
+                depth += 1
+                has_op = True
+                i += 1
+                continue
+            m = _PATH_ATOM_TOK.match(body, i)
+            if not m:
+                return None, pos
+            out.append(f"<{_resolve_term(m.group(0), prefixes)}>")
+            i = m.end()
+            expect_atom = False
+            continue
+        if ch == "+":
+            out.append("+")
+            has_op = True
+            i += 1
+            continue
+        if ch in "*?":
+            if ch == "?" and i + 1 < n and (body[i + 1].isalnum() or body[i + 1] == "_"):
+                break  # next variable, not a path operator
+            raise ValueError("zero-length path operators * and ? are unsupported")
+        if ch == ")":
+            if depth == 0:
+                break
+            out.append(")")
+            depth -= 1
+            i += 1
+            continue
+        if ch in "/|":
+            out.append(ch)
+            has_op = True
+            i += 1
+            expect_atom = True
+            continue
+        break
+    if depth != 0 or expect_atom or not has_op:
+        return None, pos
+    return "path:" + "".join(out), i
+
+
 def _parse_bgp(body: str, prefixes: dict[str, str]) -> list[TriplePattern]:
-    """Parse 'term term term [;|,|.]…' with Turtle-style continuations."""
+    """Parse 'term term term [;|,|.]…' with Turtle-style continuations.
+    Predicates may be property-path expressions."""
     patterns: list[TriplePattern] = []
     pos = 0
     subj = pred = None
@@ -153,6 +220,11 @@ def _parse_bgp(body: str, prefixes: dict[str, str]) -> list[TriplePattern]:
             state = {".": "s", ";": "p", ",": "o"}[ch]
             pos += 1
             continue
+        if state == "p" and not body.startswith("?", pos):
+            path, newpos = _try_parse_path(body, pos, prefixes)
+            if path is not None:
+                pred, state, pos = path, "o", newpos
+                continue
         m = _TERM_RE.match(body, pos)
         if not m:
             raise ValueError(f"cannot parse BGP at: {body[pos:pos+40]!r}")

@@ -213,6 +213,53 @@ def test_filter_function_library(fruit_kg):
     assert fruits('?fruit IN (<http://example.org/Pineapple>)') == ["Pineapple"]
 
 
+def test_property_path_alt_seq_inverse(fruit_kg):
+    # alternative: fruits that are sweet by taste OR yellow by color
+    q = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?f WHERE { ?f ex:hasTaste|ex:hasColor "sweet" } ORDER BY ?f
+    """
+    assert [r["f"].rsplit("/", 1)[1] for r in sparql_select(fruit_kg, q).collect()] == [
+        "Banana", "Pineapple",
+    ]
+    # sequence + inverse: co-climate pairs (both grow in TropicalClimate)
+    q2 = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?a ?b WHERE { ?a ex:growsIn/^ex:growsIn ?b . FILTER(?a != ?b) } ORDER BY ?a
+    """
+    rows = [(r["a"].rsplit("/", 1)[1], r["b"].rsplit("/", 1)[1]) for r in sparql_select(fruit_kg, q2).collect()]
+    assert rows == [("Banana", "Pineapple"), ("Pineapple", "Banana")]
+
+
+def test_property_path_transitive_closure(spark, tmp_path):
+    from de_spark.pipeline import build
+
+    nt = "\n".join(
+        f"<http://x/{a}> <http://x/next> <http://x/{b}> ."
+        for a, b in [("a", "b"), ("b", "c"), ("c", "d"), ("e", "e")]
+    )
+    from de_spark.sources.nt import triples_from_nt_text
+
+    kg, _ = build(triples_from_nt_text(spark, nt, "g"), str(tmp_path / "chain"))
+    q = "SELECT ?x ?y WHERE { ?x <http://x/next>+ ?y } ORDER BY ?x ?y"
+    got = {(r["x"][-1], r["y"][-1]) for r in sparql_select(kg, q).collect()}
+    assert got == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("e", "e"),  # self-loop closes on itself
+    }
+    # bound subject
+    q2 = 'SELECT ?y WHERE { <http://x/b> <http://x/next>+ ?y }'
+    assert {r["y"][-1] for r in sparql_select(kg, q2).collect()} == {"c", "d"}
+
+
+def test_zero_length_path_rejected(fruit_kg):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zero-length"):
+        sparql_select(fruit_kg, "SELECT ?f WHERE { ?f <http://example.org/hasColor>* ?c }")
+
+
 def test_ask_serializations(fruit_kg):
     from de_spark.query import results as res
 
