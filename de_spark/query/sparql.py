@@ -65,6 +65,7 @@ class SelectQuery:
     ask: bool = False
     aggregates: list[Aggregate] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    having: list[str] = field(default_factory=list)  # post-agg numeric filters
 
 
 _PREFIX_RE = re.compile(r"PREFIX\s+([\w-]*):\s*<([^>]*)>", re.I)
@@ -360,6 +361,18 @@ def parse_sparql(query: str) -> SelectQuery:
     fm = _OFFSET_RE.search(tail)
     gm = re.search(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", tail, re.I)
     group_by = re.findall(r"\?(\w+)", gm.group(1)) if gm else []
+    having: list[str] = []
+    hm = re.search(r"HAVING\s*\(", tail, re.I)
+    if hm:
+        d = 0
+        for i in range(hm.end() - 1, len(tail)):
+            if tail[i] == "(":
+                d += 1
+            elif tail[i] == ")":
+                d -= 1
+                if d == 0:
+                    having.append(tail[hm.end() : i])
+                    break
 
     return SelectQuery(
         variables=variables,
@@ -374,6 +387,7 @@ def parse_sparql(query: str) -> SelectQuery:
         ask=ask,
         aggregates=aggregates,
         group_by=group_by,
+        having=having,
     )
 
 
@@ -618,6 +632,20 @@ def execute(kg: KnowledgeGraph, q: SelectQuery) -> DataFrame:
                 aggs.append(F.concat_ws(" ", F.collect_list(F.col(a.var))).alias(a.alias))
         grouped = decoded.groupBy(*q.group_by) if q.group_by else decoded.groupBy()
         decoded = grouped.agg(*aggs)
+        # HAVING: comparisons over aggregate aliases (already-numeric
+        # columns — not term strings, so not _filter_to_column's job)
+        for h in q.having:
+            hm = re.match(r"^\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*([+-]?\d+(?:\.\d+)?)\s*$", h)
+            if not hm:
+                raise ValueError(f"unsupported HAVING expression: {h!r}")
+            lhs = F.col(hm.group(1))
+            rv = F.lit(float(hm.group(3)))
+            decoded = decoded.where(
+                {
+                    "=": lhs == rv, "!=": lhs != rv, "<": lhs < rv,
+                    "<=": lhs <= rv, ">": lhs > rv, ">=": lhs >= rv,
+                }[hm.group(2)]
+            )
         proj = (q.variables or q.group_by) + [a.alias for a in q.aggregates]
         decoded = decoded.select(*proj)
     else:

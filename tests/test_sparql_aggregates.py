@@ -37,6 +37,16 @@ def test_group_by_count(kg):
     assert [(r["k"], r["n"]) for r in rows] == [("http://x/A", 2), ("http://x/B", 1)]
 
 
+def test_having(kg):
+    q = """
+    PREFIX x: <http://x/>
+    SELECT ?k (COUNT(?s) AS ?n) WHERE { ?s x:kind ?k }
+    GROUP BY ?k HAVING(?n > 1)
+    """
+    rows = sparql_select(kg, q).collect()
+    assert [(r["k"], r["n"]) for r in rows] == [("http://x/A", 2)]
+
+
 def test_group_by_sum_avg_min_max(kg):
     q = """
     PREFIX x: <http://x/>
