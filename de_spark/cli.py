@@ -68,11 +68,33 @@ def cmd_query(args) -> int:
         with open(qf) as f:
             q = f.read()
         if _re.search(r"\bCONSTRUCT\b", q, _re.I) or _re.search(r"\bDESCRIBE\b", q, _re.I):
-            # CONSTRUCT/DESCRIBE → RDF graph output (NTriples lines),
-            # like the reference's graph-format routing (src/query.rs:155-175)
+            # CONSTRUCT/DESCRIBE → RDF graph output, like the
+            # reference's graph-format routing (src/query.rs:155-175);
+            # -o picks the serialization (NT default; solution formats
+            # csv/tsv/json/xml fall back to NT like `de`'s default)
+            from de_spark.sources.rdf_writers import (
+                rdfxml_string,
+                render_nquads,
+                render_trig_lines,
+                render_turtle_lines,
+            )
+            from pyspark.sql import functions as F
+
             is_describe = bool(_re.search(r"\bDESCRIBE\b", q, _re.I))
             g = sparql_describe(kg, q) if is_describe else sparql_construct(kg, q)
-            for r in render_ntriples(g).toLocalIterator():
+            if args.output == "rdfxml":
+                print(rdfxml_string(g))
+                continue
+            line_renderers = {
+                "nq": render_nquads,
+                "trig": render_trig_lines,
+                "ttl": render_turtle_lines,
+                "turtle": render_turtle_lines,
+            }
+            if args.output in ("nq", "trig"):
+                g = g.withColumn("graph", F.lit("file:///constructed"))
+            render = line_renderers.get(args.output, render_ntriples)
+            for r in render(g).toLocalIterator():
                 print(r["line"])
             continue
         parsed = parse_sparql(q)
@@ -125,7 +147,13 @@ def main(argv=None) -> int:
     q = sub.add_parser("query", help="run SPARQL over a store dir or RDF files")
     q.add_argument("-d", "--data", nargs="+", required=True)
     q.add_argument("-s", "--query", nargs="+", required=True)
-    q.add_argument("-o", "--output", default="csv", choices=["csv", "tsv", "json", "xml"])
+    q.add_argument(
+        "-o",
+        "--output",
+        default="csv",
+        choices=["csv", "tsv", "json", "xml", "nt", "nq", "ttl", "turtle", "trig", "rdfxml"],
+        help="solution format for SELECT/ASK; graph format for CONSTRUCT/DESCRIBE",
+    )
     q.set_defaults(fn=cmd_query)
 
     v = sub.add_parser("view", help="print VOID stats of a store")
