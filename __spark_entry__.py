@@ -153,6 +153,23 @@ def _q5_region_revenue(spark, sf_dir):
     )
 
 
+def _q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a fact-dim join
+    (part is the dim — broadcast-able)."""
+    l = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        l.where((F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_revenue_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
 def _top10_orders(spark, sf_dir):
     o = _read(spark, sf_dir, "orders")
     return o.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
@@ -301,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_region_revenue": _q5_region_revenue,
+        "q14_promo_revenue": _q14_promo_revenue,
         "top10_orders": _top10_orders,
         "distinct_flag_status": _distinct_flag_status,
         "cust_order_counts_left": _cust_order_counts_left,
@@ -570,6 +588,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
+        """,
+        "q14_promo_revenue": """
+        SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                     * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
         """,
         "top10_orders": """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
