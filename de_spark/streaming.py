@@ -1,0 +1,148 @@
+"""Structured Streaming surface: continuous corpus ingestion.
+
+The reference is strictly batch over immutable HDT snapshots
+(SURVEY.md §2.9) — its only "incremental" behavior is whole-graph
+add/drop and per-request directory sync (src/sparql.rs:235-294).  At
+100 TB the corpus does not arrive at rest: this module is the
+continuous version of that surface, built on Spark Structured
+Streaming so the SAME build/dedup operators run incrementally:
+
+- ``stream_triples_from_nt_dir``: file-source stream of N-Triples
+  (new files under a landing dir) → the standard ``triples_raw``
+  shape, one named graph per file — the streaming twin of
+  ``sources.nt.read_nt`` + ``store.sync_dir``'s add half.
+- ``stream_ingest``: foreachBatch loop appending each micro-batch's
+  NEW graphs to a materialized store via ``store.add_graph`` —
+  exactly-once per file (the file source tracks processed files in
+  the checkpoint; graph immutability is preserved because a file is
+  read once and a graph is only ever appended whole).
+- ``stream_exact_dedup``: stateful streaming dedup — first document
+  per content hash passes, replays are dropped (state = hash set,
+  Spark-managed).
+- ``running_source_stats``: custom stateful operator via
+  ``applyInPandasWithState`` — cumulative per-source document/token
+  counters across micro-batches (the pattern for any custom
+  accumulator the built-in aggregations can't express).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from de_spark.sources.nt import _NT_LINE, _strip_iri  # shared line grammar
+from de_spark import terms
+
+
+def stream_triples_from_nt_dir(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Streaming triples_raw from N-Triples files arriving in a dir.
+
+    Same vectorized regex parse as the batch reader; graph =
+    ``file:///<name>`` per source file (reference graph naming,
+    src/sparql.rs:40-48).
+    """
+    lines = spark.readStream.format("text").load(landing_dir)
+    parsed = lines.select(
+        F.regexp_extract("value", _NT_LINE, 1).alias("s_raw"),
+        F.regexp_extract("value", _NT_LINE, 2).alias("p_raw"),
+        F.regexp_extract("value", _NT_LINE, 3).alias("o_raw"),
+        F.concat(
+            F.lit("file:///"), F.element_at(F.split(F.input_file_name(), "/"), -1)
+        ).alias("graph"),
+    ).where(F.col("p_raw") != "")
+    return parsed.select(
+        _strip_iri(F.col("s_raw")).alias("s"),
+        _strip_iri(F.col("p_raw")).alias("p"),
+        _strip_iri(F.col("o_raw")).alias("o"),
+        terms.classify(_strip_iri(F.col("o_raw"))).alias("o_kind"),
+        "graph",
+    )
+
+
+def stream_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous store ingestion: each micro-batch's new graphs are
+    appended via the batch mutation surface (``store.add_graph``).
+
+    Returns the StreamingQuery; drive it with ``trigger(availableNow)``
+    + ``awaitTermination`` for catch-up runs or leave it running for
+    continuous tail ingestion.  Restart-safe: the checkpoint remembers
+    which files were consumed, and ``add_graph`` refuses an
+    already-registered graph (the batch immutability guarantee) — a
+    replayed batch skips them instead of duplicating.
+    """
+    from de_spark import store as store_mod
+
+    triples = stream_triples_from_nt_dir(spark, landing_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        existing = store_mod._graphs(spark, store_dir)
+        fresh = batch_df.where(~F.col("graph").isin(sorted(existing)))
+        if fresh.isEmpty():
+            return
+        store_mod.add_graph(spark, store_dir, fresh)
+
+    return (
+        triples.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming exact dedup: the FIRST document per content hash
+    passes; later identical content is dropped.  State is the hash set,
+    managed by Spark's streaming dedup operator (at scale: bound it
+    with a watermark on an event-time column + dropDuplicatesWithinWatermark).
+    """
+    hashed = docs.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    return hashed.dropDuplicates(["content_hash"]).select(
+        id_col, "content_hash", text_col
+    )
+
+
+_STATS_STATE = T.StructType(
+    [T.StructField("docs", T.LongType()), T.StructField("tokens", T.LongType())]
+)
+_STATS_OUT = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("docs", T.LongType()),
+        T.StructField("tokens", T.LongType()),
+    ]
+)
+
+
+def running_source_stats(docs: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Cumulative per-source (docs, tokens) across ALL micro-batches —
+    a custom stateful operator on ``applyInPandasWithState``.  Each
+    group's state is two counters; each invocation folds the current
+    batch's Arrow frames into them and emits the running totals.
+    """
+    import pandas as pd
+
+    def fold(key, pdfs, state):
+        docs_n, tokens_n = tuple(state.get) if state.exists else (0, 0)
+        for pdf in pdfs:
+            docs_n += len(pdf)
+            tokens_n += int(pdf["text"].str.split().str.len().fillna(0).sum())
+        state.update((docs_n, tokens_n))
+        yield pd.DataFrame(
+            {"source": [key[0]], "docs": [docs_n], "tokens": [tokens_n]}
+        )
+
+    return docs.groupBy("source").applyInPandasWithState(
+        fold,
+        outputStructType=_STATS_OUT,
+        stateStructType=_STATS_STATE,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

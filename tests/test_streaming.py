@@ -1,0 +1,112 @@
+"""Structured Streaming surface: incremental store ingest, streaming
+exact dedup, and the applyInPandasWithState stateful accumulator."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from de_spark import store, streaming
+from de_spark.pipeline import build
+from de_spark.sources.nt import triples_from_nt_text
+from tests.fixtures import BANANA_NT
+
+NT2 = """\
+<http://example.org/Mango> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example.org/Fruit> .
+<http://example.org/Mango> <http://example.org/hasColor> "orange" .
+"""
+
+
+def test_stream_ingest_appends_new_graphs(spark, tmp_path):
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    (landing / "banana.nt").write_text(BANANA_NT)
+
+    base = str(tmp_path / "store")
+    # seed the store from the first file via the batch path
+    build(triples_from_nt_text(spark, BANANA_NT, "file:///banana.nt"), base)
+
+    # catch-up run 1: banana.nt is already registered → no duplicate append
+    q = streaming.stream_ingest(spark, str(landing), base, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    kg = store.load(spark, base)
+    assert {r["graph"] for r in kg.stats.collect()} == {"file:///banana.nt"}
+    assert kg.pattern(graph="file:///banana.nt").count() == 12
+
+    # a new file lands → catch-up run 2 appends exactly that graph
+    (landing / "mango.nt").write_text(NT2)
+    q2 = streaming.stream_ingest(spark, str(landing), base, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    kg = store.load(spark, base)
+    assert {r["graph"] for r in kg.stats.collect()} == {
+        "file:///banana.nt",
+        "file:///mango.nt",
+    }
+    assert kg.pattern(graph="file:///mango.nt").count() == 2
+    # the union default graph answers across batch + streamed graphs
+    got = {
+        r["o"]
+        for r in kg.pattern_decoded(p="http://example.org/hasColor").collect()
+    }
+    assert got == {'"yellow"', '"orange"'}
+
+
+def _drain(stream_df, name, spark, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    src = tmp_path / "docs"
+    os.makedirs(src)
+    (src / "a.json").write_text(
+        '{"doc_id": 1, "text": "same text", "source": "s1"}\n'
+        '{"doc_id": 2, "text": "same text", "source": "s1"}\n'
+        '{"doc_id": 3, "text": "other", "source": "s2"}\n'
+    )
+    schema = "doc_id LONG, text STRING, source STRING"
+    docs = spark.readStream.schema(schema).json(str(src))
+    out = _drain(streaming.stream_exact_dedup(docs), "dedup_sink", spark)
+    rows = {r["doc_id"] for r in out.collect()}
+    assert len(rows) == 2 and 3 in rows and len(rows & {1, 2}) == 1
+
+
+def test_running_source_stats_accumulates_across_batches(spark, tmp_path):
+    src = tmp_path / "docs2"
+    os.makedirs(src)
+    (src / "b1.json").write_text(
+        '{"doc_id": 1, "text": "one two three", "source": "s1"}\n'
+        '{"doc_id": 2, "text": "four five", "source": "s2"}\n'
+    )
+    schema = "doc_id LONG, text STRING, source STRING"
+    docs = spark.readStream.schema(schema).json(str(src))
+    stats = streaming.running_source_stats(docs)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("stats_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: state must ACCUMULATE, not reset
+        (src / "b2.json").write_text(
+            '{"doc_id": 3, "text": "six seven eight nine", "source": "s1"}\n'
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT source, max(docs) AS docs, max(tokens) AS tokens "
+        "FROM stats_sink GROUP BY source"
+    ).collect()
+    got = {r["source"]: (r["docs"], r["tokens"]) for r in rows}
+    assert got == {"s1": (2, 7), "s2": (1, 2)}
