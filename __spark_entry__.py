@@ -275,6 +275,13 @@ def _embedding_neardup(spark, sf_dir):
     )
 
 
+def _dedup_canonical_vecs(spark, sf_dir):
+    """Near-dup pairs → connected components → canonical member per
+    cluster (iterative min-label propagation; oracle = recursive CTE)."""
+    pairs = _embedding_neardup(spark, sf_dir)
+    return dedup.dedup_components(pairs)
+
+
 def _ann_cosine_topk(spark, sf_dir):
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -334,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "embedding_neardup": _embedding_neardup,
+        "dedup_canonical_vecs": _dedup_canonical_vecs,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -688,6 +696,21 @@ def oracle_sql() -> dict[str, str]:
                round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cosine
         FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
         WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.4
+        """,
+        "dedup_canonical_vecs": """
+        WITH RECURSIVE pairs AS (
+          SELECT x.vec_id AS a, y.vec_id AS b
+          FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+          WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.4
+        ),
+        und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+        nodes AS (SELECT DISTINCT x FROM und),
+        reach(src, dst) AS (
+          SELECT x, x FROM nodes
+          UNION
+          SELECT r.src, u.y FROM reach r JOIN und u ON r.dst = u.x
+        )
+        SELECT src AS doc_id, min(dst) AS canon_id FROM reach GROUP BY src
         """,
         "ann_cosine_topk": """
         SELECT e.vec_id,

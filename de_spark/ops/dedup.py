@@ -239,6 +239,73 @@ def embedding_neardup_pairs(
     )
 
 
+def dedup_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Near-duplicate pairs → connected components (doc_id, canon_id)
+    with canon_id = the component's minimum member id.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds (dedup clusters are shallow — a
+    handful of rounds).  Each round is one neighbor join + one
+    min-aggregation, all on long ids; the driver only probes
+    convergence (a count of changed labels).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .unionByName(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+        .dropDuplicates()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(64):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.label") != F.col("l.label"))
+            .isEmpty()
+        )
+        prev = labels
+        labels = updated
+        prev.unpersist()
+        if changed:
+            break
+    else:
+        raise ValueError("dedup_components did not converge in 64 rounds")
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canon_id"))
+
+
+def keep_canonical(
+    documents: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents minus near-duplicates: for every connected component of
+    ``pairs`` only the minimum-id member survives; documents in no pair
+    survive untouched.  The standard last step of a dedup recipe."""
+    comps = dedup_components(pairs)
+    losers = comps.where(F.col("doc_id") != F.col("canon_id")).select("doc_id")
+    return documents.join(
+        losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
 def embedding_neardup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -120,6 +120,18 @@ def test_simhash_close_for_neardups(spark):
     assert ham12 < 10 < ham13
 
 
+def test_dedup_components_and_keep_canonical(spark):
+    # two components: {1,2,3} (chain) and {7,9}; 5 is isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["a", "b"]
+    )
+    comps = {r["doc_id"]: r["canon_id"] for r in dedup.dedup_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    docs = spark.createDataFrame([(i, f"t{i}") for i in (1, 2, 3, 5, 7, 9)], ["doc_id", "text"])
+    kept = {r["doc_id"] for r in dedup.keep_canonical(docs, pairs).collect()}
+    assert kept == {1, 5, 7}
+
+
 def test_embedding_neardup(embeddings):
     pairs = dedup.embedding_neardup_pairs(embeddings.limit(100), threshold=0.99)
     for r in pairs.collect():
