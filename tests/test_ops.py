@@ -184,10 +184,46 @@ def test_multimodal_features(spark):
     }
 
 
-def test_multimodal_strict_raises(spark):
-    media = multimodal.synthetic_media(spark, n=3)
+def test_multimodal_strict_raises_on_video_only(spark):
+    media = multimodal.synthetic_media(spark, n=9)
+    # video payloads need ffmpeg → strict mode raises …
     with pytest.raises(Exception):
         multimodal.extract_features(media, strict=True).collect()
+    # … but images + audio decode FOR REAL even in strict mode
+    ia = media.where(F.col("kind") != "video")
+    rows = multimodal.extract_features(ia, strict=True).collect()
+    assert len(rows) == ia.count() and all(r["decode_ok"] for r in rows)
+
+
+def test_multimodal_real_codecs_roundtrip():
+    import numpy as np
+
+    from de_spark.ops.multimodal import decode_ppm, decode_wav, make_ppm, make_wav
+
+    w, h, arr = decode_ppm(make_ppm(32, 16, seed=5))
+    assert (w, h, arr.shape) == (32, 16, (16, 32, 3))
+    # pixel content is the seeded gradient, not noise
+    assert int(arr[0, 1, 0]) - int(arr[0, 0, 0]) == 1
+
+    rate, s = decode_wav(make_wav(500, freq_hz=440.0))
+    assert rate == 8000 and len(s) == 4000
+    # a 0.5-amplitude sine has RMS ≈ 0.5/√2
+    assert abs(float(np.sqrt(np.mean(s**2))) - 0.3536) < 0.01
+
+
+def test_multimodal_features_reflect_content(spark):
+    from de_spark.ops.multimodal import MEDIA_SCHEMA, make_ppm
+
+    red = b"P6\n4 4\n255\n" + bytes([255, 0, 0]) * 16
+    blue = b"P6\n4 4\n255\n" + bytes([0, 0, 255]) * 16
+    rows = [
+        (1, "image", "image/x-portable-pixmap", bytearray(red), 4, 4, None),
+        (2, "image", "image/x-portable-pixmap", bytearray(blue), 4, 4, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+    assert feats[1][0] > 0.99 and feats[1][2] < 0.01  # red image: R high, B low
+    assert feats[2][0] < 0.01 and feats[2][2] > 0.99  # blue image: the reverse
 
 
 def test_frame_sampling(spark):
