@@ -306,11 +306,11 @@ def test_ivf_plan_size_flat_in_n_lists(embeddings):
     assignment plan must not grow with n_lists (round-1 regression:
     literal when-chains made the plan O(n_lists·dim))."""
     sizes = {}
-    for k in (4, 64):
+    for k in (4, 256):
         cents, assigned = similarity.ivf_build(embeddings, n_lists=k, iters=0)
         sizes[k] = len(assigned._jdf.queryExecution().executedPlan().toString())
         assigned.unpersist()
-    assert sizes[64] < sizes[4] * 1.5, sizes
+    assert sizes[256] < sizes[4] * 1.5, sizes
 
 
 def test_ivf_topk_recall(embeddings):
