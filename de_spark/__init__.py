@@ -20,6 +20,10 @@ DataFrame stages:
 - ``de_spark.pipeline``   — checkpointed end-to-end build (de create).
 - ``de_spark.query``      — triple-pattern API, SPARQL-lite compiler and
                             result emitters (de query).
+- ``de_spark.store``      — whole-graph add/drop + directory sync (the
+                            reference mutation surface, src/serve.rs).
+- ``de_spark.streaming``  — Structured Streaming ingest, streaming
+                            dedup, stateful accumulators.
 - ``de_spark.ops``        — training-data-pipeline operators: dedup,
                             similarity search, text analysis, multimodal.
 """
