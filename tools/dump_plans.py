@@ -20,6 +20,7 @@ SHOW = [
     ("dedup_minhash_lsh", "banded LSH bucket self-join (no O(n^2) cross product)"),
     ("q1_pricing_summary", "scan + partial/final agg (whole-stage codegen span)"),
     ("embedding_neardup", "LSH-bucketed near-dup: NO CartesianProduct/BroadcastNestedLoopJoin node"),
+    ("kg_path_comention", "property path (seq+inverse): uid-pair joins, bound subject as broadcast semi"),
     (
         "ann_ivf_topk",
         "IVF probe: the BroadcastNestedLoopJoin here is the INTENDED n-rows x "
