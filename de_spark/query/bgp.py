@@ -43,6 +43,7 @@ class TriplePattern:
     s: str
     p: str
     o: str
+    graph: str | None = None  # constant named-graph restriction (F2)
 
     def is_path(self) -> bool:
         return self.p.startswith("path:")
@@ -196,6 +197,7 @@ def _compile_one(kg: KnowledgeGraph, pat: TriplePattern) -> DataFrame:
         s=None if pat.s.startswith("?") else pat.s,
         p=None if pat.p.startswith("?") else pat.p,
         o=None if pat.o.startswith("?") else pat.o,
+        graph=pat.graph,  # GRAPH <g> clause → partition pruning
     )
     cols = []
     seen: dict[str, str] = {}

@@ -333,6 +333,38 @@ def parse_sparql(query: str) -> SelectQuery:
             else:
                 raise ValueError("unbalanced OPTIONAL block")
 
+    # GRAPH <g> { BGP } — constant named-graph restriction on the
+    # contained patterns (the reference's graph filter surface,
+    # src/sparql.rs:436-453; GRAPH ?var is P2 and rejected loudly)
+    graph_patterns: list[TriplePattern] = []
+
+    def take_graphs(text: str) -> str:
+        pat = re.compile(r"GRAPH\s+(\?\w+|<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*)\s*\{", re.I)
+        while True:
+            gm2 = pat.search(text)
+            if not gm2:
+                return text
+            gterm = gm2.group(1)
+            if gterm.startswith("?"):
+                raise ValueError("GRAPH with a variable graph name is unsupported")
+            graph_iri = _resolve_term(gterm, prefixes)
+            d = 0
+            for i in range(gm2.end() - 1, len(text)):
+                if text[i] == "{":
+                    d += 1
+                elif text[i] == "}":
+                    d -= 1
+                    if d == 0:
+                        for p in _parse_bgp(text[gm2.end() : i], prefixes):
+                            graph_patterns.append(
+                                TriplePattern(p.s, p.p, p.o, graph=graph_iri)
+                            )
+                        text = text[: gm2.start()] + " " + text[i + 1 :]
+                        break
+            else:
+                raise ValueError("unbalanced GRAPH block")
+
+    body = take_graphs(body)
     body = take_optionals(body)
     body = take_filters(body, filters)
 
@@ -347,7 +379,7 @@ def parse_sparql(query: str) -> SelectQuery:
     if re.search(r"\bUNION\b", body, re.I):
         raise ValueError("multiple UNION chains / nested UNION are unsupported")
 
-    patterns = _parse_bgp(body, prefixes) if body.strip() else []
+    patterns = (_parse_bgp(body, prefixes) if body.strip() else []) + graph_patterns
 
     order_by: list[tuple[str, bool]] = []
     om = _ORDER_RE.search(tail)

@@ -213,6 +213,25 @@ def test_filter_function_library(fruit_kg):
     assert fruits('?fruit IN (<http://example.org/Pineapple>)') == ["Pineapple"]
 
 
+def test_graph_clause_restricts_to_named_graph(fruit_kg):
+    """GRAPH <g> { … } scopes patterns to one named graph (the
+    reference's graph filter, src/sparql.rs:436-453) while surrounding
+    patterns stay on the default union graph."""
+    q = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?f WHERE {
+      GRAPH <file:///banana.hdt> { ?f ex:hasColor "yellow" }
+    } ORDER BY ?f
+    """
+    rows = [r["f"].rsplit("/", 1)[1] for r in sparql_select(fruit_kg, q).collect()]
+    assert rows == ["Banana"]  # Pineapple is yellow too, but in the other graph
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="variable graph"):
+        sparql_select(fruit_kg, "SELECT ?f WHERE { GRAPH ?g { ?f ?p ?o } }")
+
+
 def test_property_path_alt_seq_inverse(fruit_kg):
     # alternative: fruits that are sweet by taste OR yellow by color
     q = """
