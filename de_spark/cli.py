@@ -122,6 +122,29 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_load(args) -> int:
+    """SPARQL-UPDATE LOAD equivalent: RDF files → NEW named graphs in an
+    existing store.  The reference validates LOAD but leaves it
+    unimplemented (src/serve.rs:1045-1061 'not yet implemented'); here
+    it is the batch mutation surface: read_rdf + add_graph (existing
+    graphs are immutable and refused)."""
+    from de_spark import store
+    from de_spark.sources import read_rdf
+
+    spark = get_spark("de_load")
+    raw, unhandled, warnings = read_rdf(spark, args.files)
+    for w in warnings:
+        print(f"warning: {w}", file=sys.stderr)
+    for p in unhandled:
+        print(f"warning: unhandled file type: {p}", file=sys.stderr)
+    try:
+        store.add_graph(spark, args.data, raw)
+    except store.GraphExistsError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def cmd_view(args) -> int:
     spark = get_spark("de_view")
     stats = spark.read.parquet(f"{args.data}/stats")
@@ -159,6 +182,11 @@ def main(argv=None) -> int:
     v = sub.add_parser("view", help="print VOID stats of a store")
     v.add_argument("-d", "--data", required=True)
     v.set_defaults(fn=cmd_view)
+
+    ld = sub.add_parser("load", help="LOAD RDF files into a store as new named graphs")
+    ld.add_argument("-d", "--data", required=True, help="store directory")
+    ld.add_argument("-f", "--files", nargs="+", required=True)
+    ld.set_defaults(fn=cmd_load)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -96,12 +96,19 @@ class KnowledgeGraph:
 
     def decode_vars(self, solutions: DataFrame, var_cols: list[str]) -> DataFrame:
         """Replace uid columns by their term strings (emission time only,
-        mirroring src/sparql.rs:491-497)."""
+        mirroring src/sparql.rs:491-497).  Already-string columns (a
+        GRAPH ?g binding — graph names are not dictionary terms) pass
+        through untouched."""
+        dtypes = dict(solutions.dtypes)
+        decode = [v for v in var_cols if dtypes.get(v) == "bigint"]
         out = solutions
-        for v in var_cols:
+        for v in decode:
             uid_map = self.term_uids.select(
                 F.col("uid").alias(v), F.col("term").alias(f"__term_{v}")
             )
             out = out.join(uid_map, v, "left")
-        keep = [F.col(f"__term_{v}").alias(v) if v in var_cols else F.col(v) for v in solutions.columns]
+        keep = [
+            F.col(f"__term_{v}").alias(v) if v in decode else F.col(v)
+            for v in solutions.columns
+        ]
         return out.select(*keep)

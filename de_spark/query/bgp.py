@@ -43,7 +43,7 @@ class TriplePattern:
     s: str
     p: str
     o: str
-    graph: str | None = None  # constant named-graph restriction (F2)
+    graph: str | None = None  # F2: constant graph IRI, or '?var' to BIND the graph name
 
     def is_path(self) -> bool:
         return self.p.startswith("path:")
@@ -193,13 +193,19 @@ def _compile_one(kg: KnowledgeGraph, pat: TriplePattern) -> DataFrame:
     names (uid-valued)."""
     if pat.is_path():
         return _compile_path(kg, pat)
+    graph_var = pat.graph is not None and pat.graph.startswith("?")
     df = kg.pattern(
         s=None if pat.s.startswith("?") else pat.s,
         p=None if pat.p.startswith("?") else pat.p,
         o=None if pat.o.startswith("?") else pat.o,
-        graph=pat.graph,  # GRAPH <g> clause → partition pruning
+        graph=None if graph_var else pat.graph,  # GRAPH <g> → partition pruning
     )
     cols = []
+    if graph_var:
+        # GRAPH ?g binds the graph NAME — a string column (graph names
+        # are not dictionary terms), joined/projected as-is and skipped
+        # by the uid decode
+        cols.append(F.col("graph").alias(pat.graph[1:]))
     seen: dict[str, str] = {}
     for pos, term in (("s_id", pat.s), ("p_id", pat.p), ("o_id", pat.o)):
         if term.startswith("?"):

@@ -333,9 +333,9 @@ def parse_sparql(query: str) -> SelectQuery:
             else:
                 raise ValueError("unbalanced OPTIONAL block")
 
-    # GRAPH <g> { BGP } — constant named-graph restriction on the
-    # contained patterns (the reference's graph filter surface,
-    # src/sparql.rs:436-453; GRAPH ?var is P2 and rejected loudly)
+    # GRAPH <g> { BGP } — named-graph restriction on the contained
+    # patterns (the reference's graph filter surface,
+    # src/sparql.rs:436-453); GRAPH ?g binds the graph name per solution
     graph_patterns: list[TriplePattern] = []
 
     def take_graphs(text: str) -> str:
@@ -345,9 +345,7 @@ def parse_sparql(query: str) -> SelectQuery:
             if not gm2:
                 return text
             gterm = gm2.group(1)
-            if gterm.startswith("?"):
-                raise ValueError("GRAPH with a variable graph name is unsupported")
-            graph_iri = _resolve_term(gterm, prefixes)
+            graph_iri = gterm if gterm.startswith("?") else _resolve_term(gterm, prefixes)
             d = 0
             for i in range(gm2.end() - 1, len(text)):
                 if text[i] == "{":
@@ -569,6 +567,9 @@ def _push_filter_uid(kg: KnowledgeGraph, sols: DataFrame, expr: str) -> DataFram
         return None
     var = vars_in.pop()
     if var not in sols.columns:
+        return None
+    if dict(sols.dtypes).get(var) != "bigint":
+        # already a string binding (GRAPH ?g) — filter it post-decode
         return None
     m = _BOUND_RE.match(expr)
     if m:

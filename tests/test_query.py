@@ -226,10 +226,23 @@ def test_graph_clause_restricts_to_named_graph(fruit_kg):
     rows = [r["f"].rsplit("/", 1)[1] for r in sparql_select(fruit_kg, q).collect()]
     assert rows == ["Banana"]  # Pineapple is yellow too, but in the other graph
 
-    import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="variable graph"):
-        sparql_select(fruit_kg, "SELECT ?f WHERE { GRAPH ?g { ?f ?p ?o } }")
+def test_graph_variable_binds_graph_name(fruit_kg):
+    q = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?g ?f WHERE { GRAPH ?g { ?f ex:hasColor "yellow" } } ORDER BY ?g
+    """
+    rows = [(r["g"], r["f"].rsplit("/", 1)[1]) for r in sparql_select(fruit_kg, q).collect()]
+    assert rows == [
+        ("file:///banana.hdt", "Banana"),
+        ("file:///pineapple.hdt", "Pineapple"),
+    ]
+    # graph var + filter on it (string binding, filtered post-decode)
+    q2 = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?f WHERE { GRAPH ?g { ?f ex:hasColor "yellow" } FILTER(?g = "file:///banana.hdt") }
+    """
+    assert [r["f"].rsplit("/", 1)[1] for r in sparql_select(fruit_kg, q2).collect()] == ["Banana"]
 
 
 def test_property_path_alt_seq_inverse(fruit_kg):
