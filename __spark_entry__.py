@@ -87,6 +87,16 @@ def _kg_path_comention(spark, sf_dir):
     return kg.decode_vars(compile_bgp(kg, [pat]), ["other"])
 
 
+def _kg_graph_binding(spark, sf_dir):
+    """GRAPH ?g binding (F2 variable form): English docs with the named
+    graph they live in — the graph name is a string binding, not a
+    dictionary term."""
+    kg = documents_kg(spark, sf_dir)
+    pat = TriplePattern("?doc", CODE + "lang", '"en"', graph="?g")
+    sols = compile_bgp(kg, [pat])
+    return kg.decode_vars(sols, ["doc", "g"]).select("g", "doc")
+
+
 def _kg_mentions_degree(spark, sf_dir):
     """Hub-degree profile of the mentions predicate (the skew surface)."""
     t = documents_triples(spark, sf_dir)
@@ -320,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stats_void": _kg_stats_void,
         "kg_bgp_mentions": _kg_bgp_mentions,
         "kg_path_comention": _kg_path_comention,
+        "kg_graph_binding": _kg_graph_binding,
         "kg_mentions_degree": _kg_mentions_degree,
         # relational operators
         "q1_pricing_summary": _q1_pricing_summary,
@@ -557,6 +568,11 @@ def oracle_sql() -> dict[str, str]:
         FROM triples a JOIN triples b ON a.o = b.o
         WHERE a.p = '{CODE}mentions' AND b.p = '{CODE}mentions'
           AND a.s = '{ENT}doc/0'
+        """,
+        "kg_graph_binding": TRIPLES_SQL
+        + f"""
+        SELECT graph AS g, s AS doc FROM triples
+        WHERE p = '{CODE}lang' AND o = '"en"'
         """,
         "kg_mentions_degree": TRIPLES_SQL
         + f"""
