@@ -66,6 +66,8 @@ class SelectQuery:
     aggregates: list[Aggregate] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: list[str] = field(default_factory=list)  # post-agg numeric filters
+    values_vars: list[str] = field(default_factory=list)   # VALUES clause vars
+    values_rows: list[list[str]] = field(default_factory=list)  # resolved term rows
 
 
 _PREFIX_RE = re.compile(r"PREFIX\s+([\w-]*):\s*<([^>]*)>", re.I)
@@ -362,8 +364,39 @@ def parse_sparql(query: str) -> SelectQuery:
             else:
                 raise ValueError("unbalanced GRAPH block")
 
+    # VALUES ?x { t… } | VALUES (?x ?y) { (t t)… } — inline bindings in
+    # CONSTRAINT form: the listed vars must be bound by the BGP and the
+    # solutions are joined against the value rows (UNDEF is P2)
+    values_vars: list[str] = []
+    values_rows: list[list[str]] = []
+
+    def take_values(text: str) -> str:
+        vm = re.search(
+            r"VALUES\s*(\?\w+|\([^)]*\))\s*\{([^{}]*)\}", text, re.I | re.S
+        )
+        if not vm:
+            return text
+        head, rows_text = vm.group(1), vm.group(2)
+        values_vars.extend(re.findall(r"\?(\w+)", head))
+        if re.search(r"\bUNDEF\b", rows_text, re.I):
+            raise ValueError("VALUES UNDEF is unsupported")
+        if head.startswith("?"):
+            for tm in _TERM_RE.finditer(rows_text):
+                values_rows.append([_resolve_term(tm.group(1), prefixes)])
+        else:
+            for rm in re.finditer(r"\(([^)]*)\)", rows_text):
+                row = [_resolve_term(tm.group(1), prefixes) for tm in _TERM_RE.finditer(rm.group(1))]
+                if len(row) != len(values_vars):
+                    raise ValueError(f"VALUES row arity mismatch: {rm.group(0)!r}")
+                values_rows.append(row)
+        out = text[: vm.start()] + " " + text[vm.end() :]
+        if re.search(r"\bVALUES\b", out, re.I):
+            raise ValueError("multiple VALUES clauses are unsupported")
+        return out
+
     body = take_graphs(body)
     body = take_optionals(body)
+    body = take_values(body)
     body = take_filters(body, filters)
 
     # UNION: '{ A } UNION { B } [UNION { C } …]' — one n-ary chain of
@@ -418,6 +451,8 @@ def parse_sparql(query: str) -> SelectQuery:
         aggregates=aggregates,
         group_by=group_by,
         having=having,
+        values_vars=values_vars,
+        values_rows=values_rows,
     )
 
 
@@ -621,6 +656,31 @@ def execute(kg: KnowledgeGraph, q: SelectQuery) -> DataFrame:
             right = pushed
         shared = [c for c in right.columns if c in sols.columns]
         sols = sols.join(right, shared, "left")
+
+    if q.values_vars:
+        # VALUES joins in uid space: the value terms resolve to uids
+        # through the vocabulary (a term absent from the graph matches
+        # nothing, like any other constant bind), then one broadcast
+        # inner join constrains the solutions
+        missing = [v for v in q.values_vars if v not in sols.columns]
+        if missing:
+            raise ValueError(f"VALUES variables not bound by the BGP: {missing}")
+        spark = sols.sparkSession
+        vdf = spark.createDataFrame(
+            [tuple(r) for r in q.values_rows], [f"__t_{v}" for v in q.values_vars]
+        )
+        for v in q.values_vars:
+            vdf = vdf.join(
+                kg.term_uids.select(
+                    F.col("term").alias(f"__t_{v}"), F.col("uid").alias(v)
+                ),
+                f"__t_{v}",
+            )
+        sols = sols.join(
+            F.broadcast(vdf.select(*q.values_vars).dropDuplicates()),
+            q.values_vars,
+            "inner",
+        )
 
     # top-level filters: single-var expressions bind in uid space …
     post_decode: list[str] = []

@@ -292,6 +292,34 @@ def test_zero_length_path_rejected(fruit_kg):
         sparql_select(fruit_kg, "SELECT ?f WHERE { ?f <http://example.org/hasColor>* ?c }")
 
 
+def test_values_clause(fruit_kg):
+    # single-var form
+    q = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?fruit ?taste WHERE {
+      ?fruit ex:hasTaste ?taste .
+      VALUES ?fruit { ex:Banana ex:Apple }
+    }
+    """
+    rows = [(r["fruit"].rsplit("/", 1)[1], r["taste"]) for r in sparql_select(fruit_kg, q).collect()]
+    assert rows == [("Banana", '"sweet"')]  # Apple isn't in this KG → no match
+
+    # multi-var tuple form
+    q2 = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?fruit WHERE {
+      ?fruit ex:hasShape ?shape .
+      VALUES (?fruit ?shape) { (ex:Banana "curved") (ex:Pineapple "square") }
+    }
+    """
+    assert [r["fruit"].rsplit("/", 1)[1] for r in sparql_select(fruit_kg, q2).collect()] == ["Banana"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="UNDEF"):
+        sparql_select(fruit_kg, "SELECT ?f WHERE { ?f ?p ?o . VALUES ?f { UNDEF } }")
+
+
 def test_ask_serializations(fruit_kg):
     from de_spark.query import results as res
 
