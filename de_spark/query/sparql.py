@@ -1,9 +1,10 @@
 """SPARQL-lite: parser + executor for the subset the reference's own
 query corpus exercises (SURVEY.md §7 risk 5): PREFIX, SELECT
-[DISTINCT] vars|*, WHERE { BGP with ';'/',' continuations, FILTER
-(incl. scoped inside OPTIONAL), OPTIONAL { BGP }, n-ary UNION chains },
-ORDER BY [ASC|DESC](?v), LIMIT, OFFSET, GROUP BY + aggregates, plus
-ASK, CONSTRUCT and DESCRIBE.  The reference gets full SPARQL 1.1 from
+[DISTINCT] vars|*, WHERE { BGP with ';'/',' continuations and property
+paths (/ | ^ +), FILTER (incl. scoped inside OPTIONAL), OPTIONAL
+{ BGP }, n-ary UNION chains, GRAPH <g>/GRAPH ?g blocks, VALUES },
+ORDER BY [ASC|DESC](?v), LIMIT, OFFSET, GROUP BY + aggregates +
+HAVING, plus ASK, CONSTRUCT and DESCRIBE.  The reference gets full SPARQL 1.1 from
 oxigraph's spareval (src/sparql.rs:516-521); what remains beyond this
 subset (property paths, subqueries, nested group graph patterns) is
 declared P2 — the DataFrame layer underneath already supports the
