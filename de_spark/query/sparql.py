@@ -411,6 +411,29 @@ def parse_sparql(query: str) -> SelectQuery:
     if re.search(r"\bUNION\b", body, re.I):
         raise ValueError("multiple UNION chains / nested UNION are unsupported")
 
+    # remaining braces are PLAIN groups — for conjunctive queries a
+    # group join equals the flattened BGP (OPTIONAL/UNION/GRAPH/FILTER
+    # were already extracted above), so strip them (outside literals)
+    def strip_group_braces(text: str) -> str:
+        out, in_q, esc = [], False, False
+        for ch in text:
+            if esc:
+                out.append(ch)
+                esc = False
+                continue
+            if ch == "\\" and in_q:
+                out.append(ch)
+                esc = True
+                continue
+            if ch == '"':
+                in_q = not in_q
+            if ch in "{}" and not in_q:
+                out.append(" ")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    body = strip_group_braces(body)
     patterns = (_parse_bgp(body, prefixes) if body.strip() else []) + graph_patterns
 
     order_by: list[tuple[str, bool]] = []

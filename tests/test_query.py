@@ -292,6 +292,20 @@ def test_zero_length_path_rejected(fruit_kg):
         sparql_select(fruit_kg, "SELECT ?f WHERE { ?f <http://example.org/hasColor>* ?c }")
 
 
+def test_plain_group_braces_flatten(fruit_kg):
+    """Plain { } scoping groups are conjunctive — equivalent to the
+    flattened BGP once OPTIONAL/UNION/GRAPH/FILTER are extracted."""
+    q = """
+    PREFIX ex: <http://example.org/>
+    SELECT ?fruit WHERE {
+      { ?fruit a ex:Fruit . }
+      { ?fruit ex:hasColor "yellow" }
+    } ORDER BY DESC(?fruit)
+    """
+    rows = [r["fruit"].rsplit("/", 1)[1] for r in sparql_select(fruit_kg, q).collect()]
+    assert rows == ["Pineapple", "Banana"]
+
+
 def test_values_clause(fruit_kg):
     # single-var form
     q = """
