@@ -98,6 +98,17 @@ def cmd_query(args) -> int:
                 print(r["line"])
             continue
         parsed = parse_sparql(q)
+        graph_formats = {"nt", "nq", "ttl", "turtle", "trig", "rdfxml"}
+        if args.output in graph_formats:
+            # graph serializations only make sense for CONSTRUCT/DESCRIBE
+            # (mirror of the reference's per-variant format routing,
+            # src/query.rs:102-176); fall back to the CSV default like
+            # the CONSTRUCT path falls back to NT for solution formats
+            print(
+                f"warning: -o {args.output} requires CONSTRUCT/DESCRIBE; using csv",
+                file=sys.stderr,
+            )
+            args.output = "csv"
         if parsed.ask:
             # boolean serializations match the reference's sparesults
             # shapes ('true' CSV/TSV, {"head":{},"boolean":true} JSON —

@@ -35,10 +35,11 @@ class TriplePattern:
     constant term string.  The predicate may also be a PROPERTY PATH,
     encoded as ``path:<expr>`` with IRIs in angle brackets and the
     operators ``/`` (sequence), ``|`` (alternative), ``^`` (inverse),
-    ``+`` (one-or-more) — e.g. ``path:<http://a>/^<http://b>+``.
-    The reference gets full SPARQL 1.1 paths from spareval
-    (src/sparql.rs:520); this covers the closure-bearing core
-    (``*``/``?`` zero-length paths are rejected loudly)."""
+    ``+`` (one-or-more), ``*`` (zero-or-more), ``?`` (zero-or-one) —
+    e.g. ``path:<http://a>/^<http://b>+``.  The reference gets full
+    SPARQL 1.1 paths from spareval (src/sparql.rs:520); zero-length
+    matches pair every graph term (subject or object occurrence) with
+    itself, per SPARQL 1.1 ArbitraryLengthPath/ZeroOrOnePath."""
 
     s: str
     p: str
@@ -64,7 +65,7 @@ class TriplePattern:
 # Property paths (SPARQL 1.1 subset: / | ^ + over IRIs)
 # ---------------------------------------------------------------------------
 
-_PATH_ATOM = re.compile(r"\s*(\^)?\s*<([^>]*)>\s*(\+)?\s*")
+_PATH_ATOM = re.compile(r"\s*(\^)?\s*<([^>]*)>\s*([+*?])?\s*")
 _CLOSURE_MAX_ITERS = 64
 
 
@@ -119,56 +120,80 @@ def _transitive_closure(pairs: DataFrame) -> DataFrame:
     return total
 
 
-def _path_pairs(kg: KnowledgeGraph, expr: str) -> DataFrame:
+def _graph_nodes(kg: KnowledgeGraph, graph: str | None) -> DataFrame:
+    """All graph terms (subject or object occurrences) as identity
+    pairs (n, n) — the zero-length component of ``*``/``?`` paths
+    (SPARQL 1.1 ArbitraryLengthPath includes the zero-step match)."""
+    t = kg.triples if graph is None else kg.triples.where(F.col("graph") == graph)
+    nodes = (
+        t.select(F.col("s_id").alias("n"))
+        .unionByName(t.select(F.col("o_id").alias("n")))
+        .dropDuplicates()
+    )
+    return nodes.select(F.col("n").alias("a"), F.col("n").alias("b"))
+
+
+def _path_pairs(kg: KnowledgeGraph, expr: str, graph: str | None = None) -> DataFrame:
     """Compile a normalized path expression to (a, b) uid pairs."""
     expr = expr.strip()
     # bag semantics for | and / (SPARQL PathAlt/PathSequence); only the
-    # + closure is set-based (ArbitraryLengthPath), per SPARQL 1.1
+    # +/*/? closures are set-based (ArbitraryLengthPath), per SPARQL 1.1
     alts = _split_top(expr, "|")
     if len(alts) > 1:
-        out = _path_pairs(kg, alts[0])
+        out = _path_pairs(kg, alts[0], graph)
         for alt in alts[1:]:
-            out = out.unionByName(_path_pairs(kg, alt))
+            out = out.unionByName(_path_pairs(kg, alt, graph))
         return out
     seq = _split_top(expr, "/")
     if len(seq) > 1:
-        out = _path_pairs(kg, seq[0])
+        out = _path_pairs(kg, seq[0], graph)
         for step in seq[1:]:
-            nxt = _path_pairs(kg, step)
+            nxt = _path_pairs(kg, step, graph)
             out = (
                 out.alias("l")
                 .join(nxt.alias("r"), F.col("l.b") == F.col("r.a"))
                 .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
             )
         return out
-    # atom: [^] ( <iri> | (expr) ) [+]
+    # atom: [^] ( <iri> | (expr) ) [+*?]
     inv = expr.startswith("^")
     if inv:
         expr = expr[1:].strip()
-    plus = expr.endswith("+")
-    if plus:
+    suffix = ""
+    if expr.endswith(("+", "*", "?")):
+        suffix = expr[-1]
         expr = expr[:-1].strip()
     if expr.startswith("(") and expr.endswith(")"):
-        pairs = _path_pairs(kg, expr[1:-1])
+        pairs = _path_pairs(kg, expr[1:-1], graph)
     else:
         m = _PATH_ATOM.fullmatch(expr)
         if not m:
             raise ValueError(f"unsupported property path atom: {expr!r}")
         inv = inv or bool(m.group(1))
-        plus = plus or bool(m.group(3))
-        pairs = kg.pattern(p=m.group(2)).select(
+        suffix = suffix or (m.group(3) or "")
+        pairs = kg.pattern(p=m.group(2), graph=graph).select(
             F.col("s_id").alias("a"), F.col("o_id").alias("b")
         )
     if inv:
         pairs = pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    if plus:
+    if suffix == "+":
         pairs = _transitive_closure(pairs)
+    elif suffix == "*":
+        pairs = (
+            _transitive_closure(pairs)
+            .unionByName(_graph_nodes(kg, graph))
+            .dropDuplicates()
+        )
+    elif suffix == "?":
+        pairs = pairs.unionByName(_graph_nodes(kg, graph)).dropDuplicates()
     return pairs
 
 
 def _compile_path(kg: KnowledgeGraph, pat: TriplePattern) -> DataFrame:
     """Path pattern → DataFrame of the pattern's variable columns."""
-    pairs = _path_pairs(kg, pat.p[len("path:"):])
+    if pat.graph is not None and pat.graph.startswith("?"):
+        raise ValueError("GRAPH ?var over a property path is unsupported")
+    pairs = _path_pairs(kg, pat.p[len("path:"):], pat.graph)
     for col, term in (("a", pat.s), ("b", pat.o)):
         if not term.startswith("?"):
             uid = kg.term_uids.where(F.col("term") == term).select(

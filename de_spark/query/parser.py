@@ -1,0 +1,996 @@
+"""Recursive-descent SPARQL parser → group-graph-pattern algebra.
+
+Replaces the round-1/2 regex front-end.  The reference gets full
+SPARQL 1.1 parsing from oxigraph's spargebra (src/sparql.rs:516-519);
+this module implements the subset the engine executes, as a real
+tokenizer + recursive-descent grammar so composition nests correctly:
+
+- group graph patterns: nested ``{}`` groups, OPTIONAL, MINUS, GRAPH,
+  n-ary and *nested* UNION (branches may contain OPTIONAL/FILTER/...),
+  FILTER, BIND(expr AS ?v), VALUES (multiple clauses allowed)
+- expressions: ``|| && = != < <= > >= + - * /``, unary ``! -``,
+  IN / NOT IN, EXISTS / NOT EXISTS { group }, and the builtin library
+  (REGEX, BOUND, isIRI/isURI/isLiteral/isBlank, STR, LANG, DATATYPE,
+  STRSTARTS/STRENDS/CONTAINS, STRLEN, SUBSTR, UCASE/LCASE,
+  STRBEFORE/STRAFTER, CONCAT, REPLACE, ABS/CEIL/FLOOR/ROUND,
+  IF, COALESCE)
+- property paths in the predicate position: ``/ | ^ + * ?`` with parens
+- all four query forms: SELECT (vars, aggregates, expr-AS), ASK,
+  CONSTRUCT { template }, DESCRIBE targets [WHERE]
+- solution modifiers: GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET
+
+Translation to algebra follows the SPARQL 1.1 spec (§18.2): elements
+of a group accumulate left-to-right — OPTIONAL → LeftJoin, MINUS →
+Minus, BIND → Extend, everything else → Join — and FILTERs scope to
+the whole group.  Adjacent triple blocks separated only by
+*commutative* elements (FILTER, VALUES, GRAPH, sub-groups) merge into
+one BGP so the executor's selectivity-based join ordering sees the
+whole conjunction; OPTIONAL/MINUS/BIND are sequence points and flush.
+
+Unsupported constructs raise ``ValueError`` loudly (never a silent
+wrong answer): blank-node property lists / collections in patterns,
+subqueries, negated property sets, service, expressions in
+GROUP BY / ORDER BY.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from de_spark.query.bgp import TriplePattern
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+# ---------------------------------------------------------------------------
+# Expression AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class VarE:
+    name: str
+
+
+@dataclass(frozen=True)
+class TermE:
+    """A constant RDF term in HDT string convention (IRI bare, literal
+    quoted with optional ^^<dt>/@lang suffix, bnode ``_:…``)."""
+
+    term: str
+
+
+@dataclass(frozen=True)
+class NumE:
+    value: float
+    is_int: bool
+
+
+@dataclass(frozen=True)
+class BoolE:
+    value: bool
+
+
+@dataclass(frozen=True)
+class Bin:
+    op: str  # || && = != < <= > >= + - * /
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Un:
+    op: str  # ! -
+    expr: object
+
+
+@dataclass(frozen=True)
+class Call:
+    name: str  # uppercased builtin name
+    args: tuple
+
+
+@dataclass(frozen=True)
+class InE:
+    expr: object
+    items: tuple  # constant term strings
+    neg: bool
+
+
+@dataclass
+class ExistsE:
+    group: object  # algebra Node
+    neg: bool
+
+
+def expr_vars(e) -> set[str]:
+    if isinstance(e, VarE):
+        return {e.name}
+    if isinstance(e, Bin):
+        return expr_vars(e.left) | expr_vars(e.right)
+    if isinstance(e, Un):
+        return expr_vars(e.expr)
+    if isinstance(e, Call):
+        out: set[str] = set()
+        for a in e.args:
+            if not isinstance(a, str):
+                out |= expr_vars(a)
+        return out
+    if isinstance(e, InE):
+        return expr_vars(e.expr)
+    return set()
+
+
+def expr_has(e, pred) -> bool:
+    """True if any sub-expression satisfies ``pred``."""
+    if pred(e):
+        return True
+    if isinstance(e, Bin):
+        return expr_has(e.left, pred) or expr_has(e.right, pred)
+    if isinstance(e, Un):
+        return expr_has(e.expr, pred)
+    if isinstance(e, Call):
+        return any(expr_has(a, pred) for a in e.args if not isinstance(a, str))
+    if isinstance(e, InE):
+        return expr_has(e.expr, pred)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Algebra nodes (group graph pattern translation, SPARQL 1.1 §18.2)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BGPNode:
+    patterns: list  # list[TriplePattern]
+
+
+@dataclass
+class JoinNode:
+    left: object
+    right: object
+
+
+@dataclass
+class LeftJoinNode:
+    left: object
+    right: object
+    filters: list = field(default_factory=list)  # scoped filter exprs
+
+
+@dataclass
+class MinusNode:
+    left: object
+    right: object
+
+
+@dataclass
+class UnionNode:
+    branches: list
+
+
+@dataclass
+class FilterNode:
+    exprs: list
+    child: object
+
+
+@dataclass
+class ExtendNode:
+    child: object
+    var: str
+    expr: object
+
+
+@dataclass
+class GraphScopeNode:
+    term: str  # '?var' or constant graph IRI
+    child: object
+
+
+@dataclass
+class ValuesNode:
+    vars: list
+    rows: list  # rows of constant term strings
+
+
+@dataclass
+class Aggregate:
+    func: str  # count | sum | avg | min | max | sample | group_concat
+    var: str   # source var name or '*'
+    alias: str
+    distinct: bool = False
+    sep: str = " "
+
+
+@dataclass
+class ParsedQuery:
+    form: str  # select | ask | construct | describe
+    variables: list[str] = field(default_factory=list)  # [] ⇒ SELECT *
+    distinct: bool = False
+    algebra: object = None
+    aggregates: list[Aggregate] = field(default_factory=list)
+    select_exprs: list = field(default_factory=list)  # [(alias, Expr)]
+    group_by: list[str] = field(default_factory=list)
+    having: list = field(default_factory=list)  # Expr
+    order_by: list = field(default_factory=list)  # [(var, desc)]
+    limit: int | None = None
+    offset: int | None = None
+    construct_template: list | None = None  # list[TriplePattern]
+    describe_targets: list | None = None  # ['?v', const term, …]
+
+    @property
+    def ask(self) -> bool:
+        return self.form == "ask"
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Tok:
+    kind: str  # VAR IRI PNAME LIT NUM BNODE WORD OP EOF
+    value: object
+    pos: int
+
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+|\#[^\n]*)
+    | (?P<VAR>[?$][A-Za-z_]\w*)
+    | (?P<IRI><[^<>"{}|^`\\\s]*>)
+    | (?P<STR>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+    | (?P<BNODE>_:[A-Za-z0-9](?:[\w-]|\.(?=[\w.-]))*)
+    | (?P<PNAME>(?:[A-Za-z_](?:[\w-]|\.(?=[\w.-]))*)?:(?:[A-Za-z_0-9](?:[\w-]|\.(?=[\w.-]))*)?)
+    | (?P<NUM>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+)
+    | (?P<WORD>[A-Za-z_][\w-]*)
+    | (?P<OP>&&|\|\||!=|<=|>=|[=<>!+\-*/^|(){}\[\].,;?])
+    """,
+    re.VERBOSE,
+)
+
+_LANG_RE = re.compile(r"@[A-Za-z]+(?:-[A-Za-z0-9]+)*")
+
+
+def tokenize(text: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i, n = 0, len(text)
+    while i < n:
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise ValueError(f"cannot tokenize SPARQL at: {text[i:i+30]!r}")
+        kind = m.lastgroup
+        val = m.group(0)
+        i = m.end()
+        if kind == "WS":
+            continue
+        if kind == "STR":
+            # literal with optional ^^<dt> / ^^pname / @lang suffix
+            lex = val[1:-1]
+            dt = lang = None
+            if text.startswith("^^", i):
+                j = i + 2
+                m2 = _TOKEN_RE.match(text, j)
+                if not m2 or m2.lastgroup not in ("IRI", "PNAME"):
+                    raise ValueError(f"bad datatype suffix at: {text[j:j+30]!r}")
+                dt = (m2.lastgroup, m2.group(0))
+                i = m2.end()
+            elif i < n and text[i] == "@":
+                m2 = _LANG_RE.match(text, i)
+                if not m2:
+                    raise ValueError(f"bad language tag at: {text[i:i+20]!r}")
+                lang = m2.group(0)[1:]
+                i = m2.end()
+            toks.append(Tok("LIT", (lex, dt, lang), m.start()))
+            continue
+        toks.append(Tok(kind, val, m.start()))
+    toks.append(Tok("EOF", None, n))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_BUILTINS = {
+    "REGEX", "BOUND", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
+    "LANG", "DATATYPE", "STR", "STRSTARTS", "STRENDS", "CONTAINS",
+    "STRLEN", "SUBSTR", "UCASE", "LCASE", "STRBEFORE", "STRAFTER",
+    "CONCAT", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND", "IF",
+    "COALESCE", "LANGMATCHES",
+}
+
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers -------------------------------------------------------
+
+    def peek(self, k: int = 0) -> Tok:
+        j = min(self.i + k, len(self.toks) - 1)
+        return self.toks[j]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        if t.kind != "EOF":
+            self.i += 1
+        return t
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t.kind == "OP" and t.value in ops
+
+    def at_word(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "WORD" and t.value.upper() in words
+
+    def eat_op(self, op: str) -> bool:
+        if self.at_op(op):
+            self.next()
+            return True
+        return False
+
+    def eat_word(self, *words: str) -> bool:
+        if self.at_word(*words):
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.eat_op(op):
+            t = self.peek()
+            raise ValueError(f"expected {op!r} at position {t.pos}, got {t.value!r}")
+
+    def expect_word(self, word: str) -> None:
+        if not self.eat_word(word):
+            t = self.peek()
+            raise ValueError(f"expected {word} at position {t.pos}, got {t.value!r}")
+
+    # -- term resolution -----------------------------------------------------
+
+    def _resolve_pname(self, pname: str) -> str:
+        pfx, local = pname.split(":", 1)
+        if pfx not in self.prefixes:
+            raise ValueError(f"undefined prefix {pfx!r} in {pname!r}")
+        return self.prefixes[pfx] + local
+
+    def _literal_term(self, lit: tuple) -> str:
+        lex, dt, lang = lit
+        if dt is not None:
+            kind, raw = dt
+            iri = raw[1:-1] if kind == "IRI" else self._resolve_pname(raw)
+            return f'"{lex}"^^<{iri}>'
+        if lang is not None:
+            return f'"{lex}"@{lang}'
+        return f'"{lex}"'
+
+    def parse_term(self, position: str) -> str:
+        """One RDF term (or variable) in a triple pattern / VALUES row."""
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return "?" + t.value[1:]
+        if t.kind == "IRI":
+            self.next()
+            return t.value[1:-1]
+        if t.kind == "PNAME":
+            self.next()
+            return self._resolve_pname(t.value)
+        if t.kind == "LIT":
+            self.next()
+            return self._literal_term(t.value)
+        if t.kind == "BNODE":
+            self.next()
+            return t.value
+        if t.kind == "NUM":
+            self.next()
+            return self._num_term(t.value)
+        if t.kind == "OP" and t.value in "+-" and self.peek(1).kind == "NUM":
+            sign = self.next().value
+            num = self.next().value
+            return self._num_term(num if sign == "+" else "-" + num)
+        if t.kind == "WORD":
+            w = t.value
+            if w == "a" and position == "predicate":
+                self.next()
+                return RDF_TYPE
+            if w in ("true", "false"):
+                self.next()
+                return f'"{w}"^^<{XSD}boolean>'
+        if t.kind == "OP" and t.value == "[":
+            raise ValueError(
+                "blank-node property lists in query patterns are unsupported"
+            )
+        raise ValueError(f"cannot parse term at position {t.pos}: {t.value!r}")
+
+    @staticmethod
+    def _num_term(num: str) -> str:
+        if re.fullmatch(r"[+-]?\d+", num):
+            return f'"{num}"^^<{XSD}integer>'
+        if "e" in num.lower():
+            return f'"{num}"^^<{XSD}double>'
+        return f'"{num}"^^<{XSD}decimal>'
+
+    # -- property paths ------------------------------------------------------
+
+    def _parse_path(self) -> str:
+        """Path in predicate position → bare IRI or normalized
+        ``path:…`` string for de_spark.query.bgp._path_pairs."""
+        rendered, compound = self._path_alt()
+        return "path:" + rendered if compound else rendered[1:-1]
+
+    def _path_alt(self) -> tuple[str, bool]:
+        parts = [self._path_seq()]
+        while self.at_op("|"):
+            self.next()
+            parts.append(self._path_seq())
+        if len(parts) == 1:
+            return parts[0]
+        return "|".join(p[0] for p in parts), True
+
+    def _path_seq(self) -> tuple[str, bool]:
+        parts = [self._path_elt()]
+        while self.at_op("/"):
+            self.next()
+            parts.append(self._path_elt())
+        if len(parts) == 1:
+            return parts[0]
+        return "/".join(p[0] for p in parts), True
+
+    def _path_elt(self) -> tuple[str, bool]:
+        inv = self.eat_op("^")
+        t = self.peek()
+        if self.at_op("("):
+            self.next()
+            inner, _ = self._path_alt()
+            self.expect_op(")")
+            rendered, compound = f"({inner})", True
+        elif t.kind == "IRI":
+            self.next()
+            rendered, compound = t.value, False
+        elif t.kind == "PNAME":
+            self.next()
+            rendered, compound = f"<{self._resolve_pname(t.value)}>", False
+        elif t.kind == "WORD" and t.value == "a":
+            self.next()
+            rendered, compound = f"<{RDF_TYPE}>", False
+        elif self.at_op("!"):
+            raise ValueError("negated property sets are unsupported")
+        else:
+            raise ValueError(f"cannot parse path at position {t.pos}: {t.value!r}")
+        # closure/optional suffix — '?' only when not starting a variable
+        if self.at_op("+", "*"):
+            rendered += self.next().value
+            compound = True
+        elif self.at_op("?"):
+            self.next()
+            rendered += "?"
+            compound = True
+        if inv:
+            rendered = "^" + rendered
+            compound = True
+        return rendered, compound
+
+    def _parse_verb(self) -> str:
+        if self.peek().kind == "VAR":
+            return "?" + self.next().value[1:]
+        return self._parse_path()
+
+    # -- triples block -------------------------------------------------------
+
+    def _at_term_start(self) -> bool:
+        t = self.peek()
+        if t.kind in ("VAR", "IRI", "PNAME", "LIT", "NUM", "BNODE"):
+            return True
+        if t.kind == "WORD" and t.value in ("true", "false"):
+            return True
+        if t.kind == "OP" and t.value in "+-" and self.peek(1).kind == "NUM":
+            return True
+        if t.kind == "OP" and t.value == "[":
+            return True  # parse_term raises the loud unsupported error
+        return False
+
+    def parse_triples(self, sink: list) -> None:
+        """One subject with its predicate-object list(s); appends
+        TriplePatterns to ``sink``.  Caller loops over subjects."""
+        s = self.parse_term("subject")
+        while True:
+            p = self._parse_verb()
+            while True:
+                o = self.parse_term("object")
+                sink.append(TriplePattern(s, p, o))
+                if self.eat_op(","):
+                    continue
+                break
+            if self.eat_op(";"):
+                # allow trailing ';' before '.' or '}'
+                if self.at_op(".", "}") or self.peek().kind == "EOF":
+                    break
+                continue
+            break
+
+    # -- VALUES --------------------------------------------------------------
+
+    def parse_values(self) -> ValuesNode:
+        vars_: list[str] = []
+        if self.peek().kind == "VAR":
+            vars_.append(self.next().value[1:])
+            single = True
+        else:
+            self.expect_op("(")
+            while self.peek().kind == "VAR":
+                vars_.append(self.next().value[1:])
+            self.expect_op(")")
+            single = False
+        self.expect_op("{")
+        rows: list[list[str]] = []
+        while not self.at_op("}"):
+            if self.at_word("UNDEF"):
+                raise ValueError("VALUES UNDEF is unsupported")
+            if single:
+                rows.append([self.parse_term("object")])
+            else:
+                self.expect_op("(")
+                row = []
+                while not self.at_op(")"):
+                    if self.at_word("UNDEF"):
+                        raise ValueError("VALUES UNDEF is unsupported")
+                    row.append(self.parse_term("object"))
+                self.expect_op(")")
+                if len(row) != len(vars_):
+                    raise ValueError(f"VALUES row arity mismatch: {row!r}")
+                rows.append(row)
+        self.expect_op("}")
+        return ValuesNode(vars_, rows)
+
+    # -- expressions ---------------------------------------------------------
+
+    def parse_expr(self):
+        return self._or_expr()
+
+    def _or_expr(self):
+        e = self._and_expr()
+        while self.at_op("||"):
+            self.next()
+            e = Bin("||", e, self._and_expr())
+        return e
+
+    def _and_expr(self):
+        e = self._rel_expr()
+        while self.at_op("&&"):
+            self.next()
+            e = Bin("&&", e, self._rel_expr())
+        return e
+
+    def _rel_expr(self):
+        e = self._add_expr()
+        if self.at_op("=", "!=", "<", "<=", ">", ">="):
+            op = self.next().value
+            return Bin(op, e, self._add_expr())
+        if self.at_word("IN", "NOT"):
+            neg = self.eat_word("NOT")
+            self.expect_word("IN")
+            self.expect_op("(")
+            items = []
+            while not self.at_op(")"):
+                items.append(self.parse_term("object"))
+                self.eat_op(",")
+            self.expect_op(")")
+            return InE(e, tuple(items), neg)
+        return e
+
+    def _add_expr(self):
+        e = self._mul_expr()
+        while self.at_op("+", "-"):
+            op = self.next().value
+            e = Bin(op, e, self._mul_expr())
+        return e
+
+    def _mul_expr(self):
+        e = self._unary_expr()
+        while self.at_op("*", "/"):
+            op = self.next().value
+            e = Bin(op, e, self._unary_expr())
+        return e
+
+    def _unary_expr(self):
+        if self.at_op("!"):
+            self.next()
+            return Un("!", self._unary_expr())
+        if self.at_op("-"):
+            self.next()
+            return Un("-", self._unary_expr())
+        if self.at_op("+"):
+            self.next()
+            return self._unary_expr()
+        return self._primary_expr()
+
+    def _primary_expr(self):
+        t = self.peek()
+        if self.at_op("("):
+            self.next()
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if t.kind == "VAR":
+            self.next()
+            return VarE(t.value[1:])
+        if t.kind == "NUM":
+            self.next()
+            return NumE(float(t.value), "." not in t.value and "e" not in t.value.lower())
+        if t.kind == "LIT":
+            self.next()
+            return TermE(self._literal_term(t.value))
+        if t.kind == "IRI":
+            self.next()
+            return TermE(t.value[1:-1])
+        if t.kind == "PNAME":
+            self.next()
+            if self.at_op("("):
+                raise ValueError(f"unsupported function call: {t.value!r}")
+            return TermE(self._resolve_pname(t.value))
+        if t.kind == "WORD":
+            w = t.value.upper()
+            if w in ("TRUE", "FALSE"):
+                self.next()
+                return BoolE(w == "TRUE")
+            if w == "EXISTS":
+                self.next()
+                return ExistsE(self.parse_group(), neg=False)
+            if w == "NOT" and self.peek(1).kind == "WORD" and self.peek(1).value.upper() == "EXISTS":
+                self.next()
+                self.next()
+                return ExistsE(self.parse_group(), neg=True)
+            if w in _BUILTINS:
+                self.next()
+                return self._builtin_call(w)
+            raise ValueError(f"unsupported expression at position {t.pos}: {t.value!r}")
+        raise ValueError(f"cannot parse expression at position {t.pos}: {t.value!r}")
+
+    def _builtin_call(self, name: str) -> Call:
+        self.expect_op("(")
+        args = []
+        if name == "REGEX":
+            args.append(self.parse_expr())
+            self.expect_op(",")
+            args.append(self.parse_expr())
+            flags = ""
+            if self.eat_op(","):
+                ft = self.next()
+                if ft.kind != "LIT":
+                    raise ValueError("REGEX flags must be a string literal")
+                flags = ft.value[0]
+            args.append(flags)  # raw string arg
+        else:
+            while not self.at_op(")"):
+                args.append(self.parse_expr())
+                if not self.eat_op(","):
+                    break
+        self.expect_op(")")
+        return Call(name, tuple(args))
+
+    # -- FILTER constraint ---------------------------------------------------
+
+    def parse_constraint(self):
+        if self.at_word("EXISTS"):
+            self.next()
+            return ExistsE(self.parse_group(), neg=False)
+        if self.at_word("NOT"):
+            self.next()
+            self.expect_word("EXISTS")
+            return ExistsE(self.parse_group(), neg=True)
+        if self.at_op("("):
+            self.next()
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if self.peek().kind == "WORD" and self.peek().value.upper() in _BUILTINS:
+            return self._builtin_call(self.next().value.upper())
+        t = self.peek()
+        raise ValueError(f"cannot parse FILTER constraint at position {t.pos}")
+
+    # -- group graph pattern -------------------------------------------------
+
+    def parse_group(self):
+        """``{ … }`` → algebra node (SPARQL 1.1 §18.2 translation)."""
+        self.expect_op("{")
+        acc = None
+        pending: list[TriplePattern] = []
+        filters: list = []
+
+        def join(left, right):
+            if left is None:
+                return right
+            return JoinNode(left, right)
+
+        def flush():
+            nonlocal acc, pending
+            if pending:
+                acc = join(acc, BGPNode(pending))
+                pending = []
+
+        while not self.at_op("}"):
+            if self.peek().kind == "EOF":
+                raise ValueError("unbalanced group: missing '}'")
+            if self.at_word("OPTIONAL"):
+                self.next()
+                flush()
+                g = self.parse_group()
+                fs: list = []
+                if isinstance(g, FilterNode):
+                    fs, g = g.exprs, g.child
+                acc = LeftJoinNode(acc, g, fs)
+            elif self.at_word("MINUS"):
+                self.next()
+                flush()
+                acc = MinusNode(acc, self.parse_group())
+            elif self.at_word("FILTER"):
+                self.next()
+                filters.append(self.parse_constraint())
+            elif self.at_word("BIND"):
+                self.next()
+                flush()
+                self.expect_op("(")
+                e = self.parse_expr()
+                self.expect_word("AS")
+                vt = self.next()
+                if vt.kind != "VAR":
+                    raise ValueError("BIND requires 'AS ?var'")
+                self.expect_op(")")
+                acc = ExtendNode(acc, vt.value[1:], e)
+            elif self.at_word("VALUES"):
+                self.next()
+                acc = join(acc, self.parse_values())
+            elif self.at_word("GRAPH"):
+                self.next()
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    gterm = "?" + t.value[1:]
+                elif t.kind == "IRI":
+                    self.next()
+                    gterm = t.value[1:-1]
+                elif t.kind == "PNAME":
+                    self.next()
+                    gterm = self._resolve_pname(t.value)
+                else:
+                    raise ValueError("GRAPH requires a variable or IRI")
+                acc = join(acc, GraphScopeNode(gterm, self.parse_group()))
+            elif self.at_word("SELECT"):
+                raise ValueError("subqueries are unsupported")
+            elif self.at_word("SERVICE"):
+                raise ValueError("SERVICE is unsupported")
+            elif self.at_op("{"):
+                branches = [self.parse_group()]
+                while self.eat_word("UNION"):
+                    branches.append(self.parse_group())
+                node = branches[0] if len(branches) == 1 else UnionNode(branches)
+                acc = join(acc, node)
+            elif self.at_op("."):
+                self.next()
+            elif self._at_term_start():
+                self.parse_triples(pending)
+            else:
+                t = self.peek()
+                raise ValueError(
+                    f"unexpected token in group at position {t.pos}: {t.value!r}"
+                )
+        self.expect_op("}")
+        flush()
+        if filters:
+            return FilterNode(filters, acc)
+        return acc
+
+    # -- query forms ---------------------------------------------------------
+
+    def parse_query(self) -> ParsedQuery:
+        while self.at_word("PREFIX", "BASE"):
+            kw = self.next().value.upper()
+            if kw == "BASE":
+                if self.peek().kind != "IRI":
+                    raise ValueError("BASE requires an IRI")
+                self.next()  # absolute IRIs only; base kept for symmetry
+                continue
+            pt = self.next()
+            if pt.kind != "PNAME" or not pt.value.endswith(":"):
+                raise ValueError(f"PREFIX requires 'name:' at position {pt.pos}")
+            it = self.next()
+            if it.kind != "IRI":
+                raise ValueError("PREFIX requires an IRI")
+            self.prefixes[pt.value[:-1]] = it.value[1:-1]
+
+        if self.at_word("SELECT"):
+            return self._select_query()
+        if self.at_word("ASK"):
+            return self._ask_query()
+        if self.at_word("CONSTRUCT"):
+            return self._construct_query()
+        if self.at_word("DESCRIBE"):
+            return self._describe_query()
+        t = self.peek()
+        raise ValueError(f"expected a query form at position {t.pos}: {t.value!r}")
+
+    def _select_query(self) -> ParsedQuery:
+        self.expect_word("SELECT")
+        q = ParsedQuery(form="select")
+        if self.eat_word("DISTINCT"):
+            q.distinct = True
+        else:
+            self.eat_word("REDUCED")
+        star = False
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                self.next()
+                q.variables.append(t.value[1:])
+            elif self.at_op("*"):
+                self.next()
+                star = True
+            elif self.at_op("("):
+                self.next()
+                self._projection_item(q)
+                self.expect_op(")")
+            else:
+                break
+        if star:
+            q.variables = []
+        self._where_and_modifiers(q)
+        return q
+
+    def _projection_item(self, q: ParsedQuery) -> None:
+        """Inside '(' … ')': aggregate or plain expression, AS ?alias."""
+        t = self.peek()
+        if t.kind == "WORD" and t.value.upper() in _AGG_FUNCS:
+            func = self.next().value.upper()
+            self.expect_op("(")
+            distinct = self.eat_word("DISTINCT")
+            if self.at_op("*"):
+                self.next()
+                var = "*"
+            else:
+                vt = self.next()
+                if vt.kind != "VAR":
+                    raise ValueError(
+                        f"aggregates over expressions are unsupported: {func}(…)"
+                    )
+                var = vt.value[1:]
+            sep = " "
+            if self.eat_op(";"):
+                self.expect_word("SEPARATOR")
+                self.expect_op("=")
+                st = self.next()
+                if st.kind != "LIT":
+                    raise ValueError("SEPARATOR requires a string literal")
+                sep = st.value[0]
+            self.expect_op(")")
+            self.expect_word("AS")
+            at = self.next()
+            if at.kind != "VAR":
+                raise ValueError("aggregate projection requires 'AS ?alias'")
+            q.aggregates.append(
+                Aggregate(func.lower(), var, at.value[1:], distinct, sep)
+            )
+        else:
+            e = self.parse_expr()
+            self.expect_word("AS")
+            at = self.next()
+            if at.kind != "VAR":
+                raise ValueError("expression projection requires 'AS ?alias'")
+            q.select_exprs.append((at.value[1:], e))
+
+    def _ask_query(self) -> ParsedQuery:
+        self.expect_word("ASK")
+        q = ParsedQuery(form="ask")
+        self.eat_word("WHERE")
+        q.algebra = self.parse_group()
+        self._modifiers(q)
+        return q
+
+    def _construct_query(self) -> ParsedQuery:
+        self.expect_word("CONSTRUCT")
+        q = ParsedQuery(form="construct")
+        template: list[TriplePattern] = []
+        self.expect_op("{")
+        while not self.at_op("}"):
+            if self.at_op("."):
+                self.next()
+                continue
+            self.parse_triples(template)
+        self.expect_op("}")
+        q.construct_template = template
+        self._where_and_modifiers(q)
+        return q
+
+    def _describe_query(self) -> ParsedQuery:
+        self.expect_word("DESCRIBE")
+        q = ParsedQuery(form="describe")
+        targets: list[str] = []
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                self.next()
+                targets.append("?" + t.value[1:])
+            elif t.kind == "IRI":
+                self.next()
+                targets.append(t.value[1:-1])
+            elif t.kind == "PNAME":
+                self.next()
+                targets.append(self._resolve_pname(t.value))
+            else:
+                break
+        if not targets:
+            raise ValueError("DESCRIBE needs at least one variable or IRI")
+        q.describe_targets = targets
+        if self.at_word("WHERE") or self.at_op("{"):
+            self.eat_word("WHERE")
+            q.algebra = self.parse_group()
+        self._modifiers(q)
+        return q
+
+    def _where_and_modifiers(self, q: ParsedQuery) -> None:
+        self.eat_word("WHERE")
+        q.algebra = self.parse_group()
+        self._modifiers(q)
+
+    def _modifiers(self, q: ParsedQuery) -> None:
+        while self.peek().kind != "EOF":
+            if self.at_word("GROUP"):
+                self.next()
+                self.expect_word("BY")
+                while self.peek().kind == "VAR":
+                    q.group_by.append(self.next().value[1:])
+                if not q.group_by:
+                    raise ValueError("GROUP BY expressions are unsupported")
+            elif self.at_word("HAVING"):
+                self.next()
+                q.having.append(self.parse_constraint())
+            elif self.at_word("ORDER"):
+                self.next()
+                self.expect_word("BY")
+                found = False
+                while True:
+                    if self.at_word("ASC", "DESC"):
+                        desc = self.next().value.upper() == "DESC"
+                        self.expect_op("(")
+                        vt = self.next()
+                        if vt.kind != "VAR":
+                            raise ValueError("ORDER BY expressions are unsupported")
+                        self.expect_op(")")
+                        q.order_by.append((vt.value[1:], desc))
+                        found = True
+                    elif self.peek().kind == "VAR":
+                        q.order_by.append((self.next().value[1:], False))
+                        found = True
+                    else:
+                        break
+                if not found:
+                    raise ValueError("ORDER BY requires at least one variable")
+            elif self.at_word("LIMIT"):
+                self.next()
+                q.limit = int(self.next().value)
+            elif self.at_word("OFFSET"):
+                self.next()
+                q.offset = int(self.next().value)
+            elif self.at_word("VALUES"):
+                self.next()
+                vn = self.parse_values()
+                q.algebra = JoinNode(q.algebra, vn) if q.algebra is not None else vn
+            else:
+                t = self.peek()
+                raise ValueError(
+                    f"unexpected token after WHERE at position {t.pos}: {t.value!r}"
+                )
+
+
+def parse_sparql(query: str) -> ParsedQuery:
+    return Parser(query).parse_query()

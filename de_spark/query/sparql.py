@@ -1,726 +1,641 @@
-"""SPARQL-lite: parser + executor for the subset the reference's own
-query corpus exercises (SURVEY.md §7 risk 5): PREFIX, SELECT
-[DISTINCT] vars|*, WHERE { BGP with ';'/',' continuations and property
-paths (/ | ^ +), FILTER (incl. scoped inside OPTIONAL), OPTIONAL
-{ BGP }, n-ary UNION chains, GRAPH <g>/GRAPH ?g blocks, VALUES },
-ORDER BY [ASC|DESC](?v), LIMIT, OFFSET, GROUP BY + aggregates +
-HAVING, plus ASK, CONSTRUCT and DESCRIBE.  The reference gets full SPARQL 1.1 from
-oxigraph's spareval (src/sparql.rs:516-521); what remains beyond this
-subset (property paths, subqueries, nested group graph patterns) is
-declared P2 — the DataFrame layer underneath already supports the
-relational equivalents directly.
+"""SPARQL executor: group-graph-pattern algebra → DataFrame plans.
 
-FILTER library: comparisons (term/numeric), REGEX, BOUND,
-isIRI/isURI/isLiteral/isBlank, LANG/DATATYPE/STR equality,
-STRSTARTS/STRENDS/CONTAINS, STRLEN comparisons, IN/NOT IN, &&/||.
+The reference delegates SPARQL 1.1 evaluation to oxigraph's spareval
+(src/sparql.rs:516-521); here the algebra produced by
+de_spark.query.parser compiles to DataFrame operators:
 
-Execution: BGP → compile_bgp (uid joins) → single-variable FILTERs
-bound in UID SPACE (predicate evaluated over the vocabulary-sized
-term_uids table, broadcast semi-join into the solutions — the large
-intermediate never decodes just to be filtered) → decode variables to
-term strings → multi-var FILTERs as Catalyst predicates →
-DISTINCT/ORDER/LIMIT.  ORDER runs on decoded strings, matching the
-reference's string-typed term ordering (SURVEY.md §2.6 O1).
+- BGP            → de_spark.query.bgp.compile_bgp (uid joins,
+                   selectivity-ordered, AQE/salting underneath)
+- Join           → inner join on shared vars (cross join when none)
+- OPTIONAL       → left outer join; filters written inside the
+                   OPTIONAL scope to the right side (outer-variable
+                   filters are rejected loudly)
+- MINUS          → left_anti on shared vars (no shared vars ⇒ no
+                   removal, per SPARQL 1.1 §8.3)
+- UNION          → unionByName with null padding (n-ary, nested)
+- FILTER         → three strategies, picked per expression:
+                   (1) EXISTS/NOT EXISTS compile the inner group and
+                   left_semi/left_anti join it, (2) single-variable
+                   predicates evaluate in UID SPACE over the
+                   vocabulary-sized term_uids table and semi-join in
+                   (the large intermediate never decodes just to be
+                   filtered; no explicit broadcast hint — AQE decides),
+                   (3) everything else decodes just the referenced
+                   variables on the fly
+- BIND           → Extend: expression over decoded strings, rendered
+                   back to an HDT-convention term string column
+- GRAPH          → graph restriction pushed onto contained patterns
+                   (partition pruning; src/sparql.rs:436-453)
+- VALUES         → constant rows resolved to uids through the
+                   vocabulary, inner-joined
+
+Solutions stay uid-typed longs until the final decode; BIND/GRAPH ?g
+produce string columns that pass through the decode untouched.  Joins
+between a uid column and a string column (e.g. a BIND var meeting a
+pattern var) decode the uid side first.  ORDER BY runs on decoded
+strings, matching the reference's string-typed term ordering
+(SURVEY.md §2.6 O1).
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from de_spark import terms
 from de_spark.graph import KnowledgeGraph
 from de_spark.query.bgp import TriplePattern, compile_bgp
-
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-
-
-@dataclass
-class Aggregate:
-    func: str          # count | sum | avg | min | max | sample | group_concat
-    var: str           # source var name or '*'
-    alias: str
-    distinct: bool = False
-
-
-@dataclass
-class OptionalBlock:
-    patterns: list[TriplePattern]
-    filters: list[str] = field(default_factory=list)  # scoped to this block
-
-
-@dataclass
-class SelectQuery:
-    variables: list[str]          # projected var names, [] ⇒ all (SELECT *)
-    patterns: list[TriplePattern]
-    optionals: list[OptionalBlock] = field(default_factory=list)
-    unions: list[list[TriplePattern]] = field(default_factory=list)
-    filters: list[str] = field(default_factory=list)  # raw filter expressions
-    distinct: bool = False
-    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
-    limit: int | None = None
-    offset: int | None = None
-    ask: bool = False
-    aggregates: list[Aggregate] = field(default_factory=list)
-    group_by: list[str] = field(default_factory=list)
-    having: list[str] = field(default_factory=list)  # post-agg numeric filters
-    values_vars: list[str] = field(default_factory=list)   # VALUES clause vars
-    values_rows: list[list[str]] = field(default_factory=list)  # resolved term rows
-
-
-_PREFIX_RE = re.compile(r"PREFIX\s+([\w-]*):\s*<([^>]*)>", re.I)
-_SELECT_RE = re.compile(r"(SELECT|ASK)\s+(DISTINCT\s+)?([^{]*?)\s*(?:WHERE\s*)?\{", re.I | re.S)
-_ORDER_RE = re.compile(r"ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*)", re.I)
-_ORDER_ITEM_RE = re.compile(r"(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", re.I)
-_LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.I)
-_OFFSET_RE = re.compile(r"OFFSET\s+(\d+)", re.I)
-
-_TERM_RE = re.compile(
-    r"""\s*(
-        \?[\w]+
-      | <[^>]*>
-      | "(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|\^\^[\w-]+:[\w.-]*|@[A-Za-z0-9-]+)?
-      | _:[\w-]+
-      | [A-Za-z_][\w-]*:[\w.-]*
-      | \ba\b
-      | true|false
-      | [+-]?\d+(?:\.\d+)?
-    )\s*""",
-    re.VERBOSE,
+from de_spark.query.parser import (
+    BGPNode,
+    Bin,
+    BoolE,
+    Call,
+    ExistsE,
+    ExtendNode,
+    FilterNode,
+    GraphScopeNode,
+    InE,
+    JoinNode,
+    LeftJoinNode,
+    MinusNode,
+    NumE,
+    ParsedQuery,
+    TermE,
+    Un,
+    UnionNode,
+    ValuesNode,
+    VarE,
+    XSD,
+    expr_has,
+    expr_vars,
+    parse_sparql,
 )
 
-XSD = "http://www.w3.org/2001/XMLSchema#"
-
-
-def _strip_comments(q: str) -> str:
-    out = []
-    for line in q.splitlines():
-        # '#' starts a comment unless inside an IRI or literal — good
-        # enough for the supported subset: cut at '#' not preceded by <…
-        cut = len(line)
-        in_quote = False
-        in_iri = False
-        for i, ch in enumerate(line):
-            if ch == '"' and not in_iri:
-                in_quote = not in_quote
-            elif ch == "<" and not in_quote:
-                in_iri = True
-            elif ch == ">" and not in_quote:
-                in_iri = False
-            elif ch == "#" and not in_quote and not in_iri:
-                cut = i
-                break
-        out.append(line[:cut])
-    return "\n".join(out)
-
-
-def _resolve_term(tok: str, prefixes: dict[str, str]) -> str:
-    if tok.startswith("?") or tok.startswith("_:"):
-        return tok
-    if tok.startswith("<"):
-        return tok[1:-1]
-    if tok.startswith('"'):
-        m = re.match(r'^(".*")\^\^([\w-]+):([\w.-]*)$', tok, re.S)
-        if m:
-            return f"{m.group(1)}^^<{prefixes[m.group(2)]}{m.group(3)}>"
-        return tok
-    if tok == "a":
-        return RDF_TYPE
-    if tok in ("true", "false"):
-        return f'"{tok}"^^<{XSD}boolean>'
-    if re.match(r"^[+-]?\d+$", tok):
-        return f'"{tok}"^^<{XSD}integer>'
-    if re.match(r"^[+-]?\d+\.\d+$", tok):
-        return f'"{tok}"^^<{XSD}decimal>'
-    pfx, local = tok.split(":", 1)
-    return prefixes[pfx] + local
-
-
-_PATH_ATOM_TOK = re.compile(r"<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*|a(?![\w:])")
-
-
-def _try_parse_path(body: str, pos: int, prefixes: dict[str, str]) -> tuple[str | None, int]:
-    """Try to read a property-path expression (/, |, ^, +, parens) at
-    ``pos``.  Returns (normalized "path:…" string, new pos) or
-    (None, pos) when the token is a plain term.  Zero-length operators
-    * and ? are rejected loudly (a '?' followed by a name char is the
-    next VARIABLE, not a path op)."""
-    i, out, depth = pos, [], 0
-    has_op = False
-    expect_atom = True
-    n = len(body)
-    while i < n:
-        while i < n and body[i].isspace():
-            i += 1
-        if i >= n:
-            break
-        ch = body[i]
-        if expect_atom:
-            if ch == "^":
-                out.append("^")
-                has_op = True
-                i += 1
-                continue
-            if ch == "(":
-                out.append("(")
-                depth += 1
-                has_op = True
-                i += 1
-                continue
-            m = _PATH_ATOM_TOK.match(body, i)
-            if not m:
-                return None, pos
-            out.append(f"<{_resolve_term(m.group(0), prefixes)}>")
-            i = m.end()
-            expect_atom = False
-            continue
-        if ch == "+":
-            out.append("+")
-            has_op = True
-            i += 1
-            continue
-        if ch in "*?":
-            if ch == "?" and i + 1 < n and (body[i + 1].isalnum() or body[i + 1] == "_"):
-                break  # next variable, not a path operator
-            raise ValueError("zero-length path operators * and ? are unsupported")
-        if ch == ")":
-            if depth == 0:
-                break
-            out.append(")")
-            depth -= 1
-            i += 1
-            continue
-        if ch in "/|":
-            out.append(ch)
-            has_op = True
-            i += 1
-            expect_atom = True
-            continue
-        break
-    if depth != 0 or expect_atom or not has_op:
-        return None, pos
-    return "path:" + "".join(out), i
-
-
-def _parse_bgp(body: str, prefixes: dict[str, str]) -> list[TriplePattern]:
-    """Parse 'term term term [;|,|.]…' with Turtle-style continuations.
-    Predicates may be property-path expressions."""
-    patterns: list[TriplePattern] = []
-    pos = 0
-    subj = pred = None
-    state = "s"
-    body = body.strip()
-    while pos < len(body):
-        ch = body[pos]
-        if ch.isspace():
-            pos += 1
-            continue
-        if ch in ".;,":
-            # continuation punctuation: '.' new subject, ';' keep subject,
-            # ',' keep subject+predicate (Turtle-style, like query-color.rq)
-            state = {".": "s", ";": "p", ",": "o"}[ch]
-            pos += 1
-            continue
-        if state == "p" and not body.startswith("?", pos):
-            path, newpos = _try_parse_path(body, pos, prefixes)
-            if path is not None:
-                pred, state, pos = path, "o", newpos
-                continue
-        m = _TERM_RE.match(body, pos)
-        if not m:
-            raise ValueError(f"cannot parse BGP at: {body[pos:pos+40]!r}")
-        tok = _resolve_term(m.group(1), prefixes)
-        pos = m.end()
-        if state == "s":
-            subj, state = tok, "p"
-        elif state == "p":
-            pred, state = tok, "o"
-        else:
-            patterns.append(TriplePattern(subj, pred, tok))
-            state = "s"  # default: next term starts a new statement
-    return patterns
-
-
-def parse_sparql(query: str) -> SelectQuery:
-    q = _strip_comments(query)
-    prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(q)}
-    m = _SELECT_RE.search(q)
-    if not m:
-        raise ValueError("only SELECT/ASK queries are supported")
-    ask = m.group(1).upper() == "ASK"
-    distinct = bool(m.group(2))
-    proj = m.group(3).strip()
-
-    # aggregate projections: (AGG([DISTINCT] ?v|*) AS ?alias)
-    aggregates: list[Aggregate] = []
-    agg_re = re.compile(
-        r"\(\s*(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)",
-        re.I,
-    )
-    for am in agg_re.finditer(proj):
-        aggregates.append(
-            Aggregate(
-                func=am.group(1).lower(),
-                var=am.group(3).lstrip("?"),
-                alias=am.group(4),
-                distinct=bool(am.group(2)),
-            )
-        )
-    proj_wo_aggs = agg_re.sub(" ", proj)
-    variables = [] if (ask or proj == "*" or not proj) else re.findall(r"\?(\w+)", proj_wo_aggs)
-
-    # WHERE body: between the first '{' and its matching '}'
-    start = m.end() - 1
-    depth = 0
-    end = start
-    for i in range(start, len(q)):
-        if q[i] == "{":
-            depth += 1
-        elif q[i] == "}":
-            depth -= 1
-            if depth == 0:
-                end = i
-                break
-    body = q[start + 1 : end]
-    tail = q[end + 1 :]
-
-    filters: list[str] = []
-    optionals: list[OptionalBlock] = []
-    unions: list[list[TriplePattern]] = []
-
-    # extract FILTER(...) clauses from a text fragment into ``sink``
-    def take_filters(text: str, sink: list[str]) -> str:
-        out = text
-        for fm in re.finditer(r"FILTER\s*\(", out, re.I):
-            start_f = fm.end() - 1
-            d = 0
-            for i in range(start_f, len(out)):
-                if out[i] == "(":
-                    d += 1
-                elif out[i] == ")":
-                    d -= 1
-                    if d == 0:
-                        sink.append(out[start_f + 1 : i])
-                        out = out[: fm.start()] + " " + out[i + 1 :]
-                        return take_filters(out, sink)
-        return out
-
-    # OPTIONAL { … } blocks FIRST — so a FILTER written inside an
-    # OPTIONAL is scoped to that block (left-join side) instead of
-    # being silently hoisted to the top level (which would drop rows
-    # SPARQL semantics keep: unbound optional var → top-level filter
-    # eliminates the row instead of leaving it unextended)
-    def take_optionals(text: str) -> str:
-        pat = re.compile(r"OPTIONAL\s*\{", re.I)
-        while True:
-            bm = pat.search(text)
-            if not bm:
-                return text
-            d = 0
-            for i in range(bm.end() - 1, len(text)):
-                if text[i] == "{":
-                    d += 1
-                elif text[i] == "}":
-                    d -= 1
-                    if d == 0:
-                        block_filters: list[str] = []
-                        block_body = take_filters(text[bm.end() : i], block_filters)
-                        optionals.append(
-                            OptionalBlock(_parse_bgp(block_body, prefixes), block_filters)
-                        )
-                        text = text[: bm.start()] + " " + text[i + 1 :]
-                        break
-            else:
-                raise ValueError("unbalanced OPTIONAL block")
-
-    # GRAPH <g> { BGP } — named-graph restriction on the contained
-    # patterns (the reference's graph filter surface,
-    # src/sparql.rs:436-453); GRAPH ?g binds the graph name per solution
-    graph_patterns: list[TriplePattern] = []
-
-    def take_graphs(text: str) -> str:
-        pat = re.compile(r"GRAPH\s+(\?\w+|<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*)\s*\{", re.I)
-        while True:
-            gm2 = pat.search(text)
-            if not gm2:
-                return text
-            gterm = gm2.group(1)
-            graph_iri = gterm if gterm.startswith("?") else _resolve_term(gterm, prefixes)
-            d = 0
-            for i in range(gm2.end() - 1, len(text)):
-                if text[i] == "{":
-                    d += 1
-                elif text[i] == "}":
-                    d -= 1
-                    if d == 0:
-                        for p in _parse_bgp(text[gm2.end() : i], prefixes):
-                            graph_patterns.append(
-                                TriplePattern(p.s, p.p, p.o, graph=graph_iri)
-                            )
-                        text = text[: gm2.start()] + " " + text[i + 1 :]
-                        break
-            else:
-                raise ValueError("unbalanced GRAPH block")
-
-    # VALUES ?x { t… } | VALUES (?x ?y) { (t t)… } — inline bindings in
-    # CONSTRAINT form: the listed vars must be bound by the BGP and the
-    # solutions are joined against the value rows (UNDEF is P2)
-    values_vars: list[str] = []
-    values_rows: list[list[str]] = []
-
-    def take_values(text: str) -> str:
-        vm = re.search(
-            r"VALUES\s*(\?\w+|\([^)]*\))\s*\{([^{}]*)\}", text, re.I | re.S
-        )
-        if not vm:
-            return text
-        head, rows_text = vm.group(1), vm.group(2)
-        values_vars.extend(re.findall(r"\?(\w+)", head))
-        if re.search(r"\bUNDEF\b", rows_text, re.I):
-            raise ValueError("VALUES UNDEF is unsupported")
-        if head.startswith("?"):
-            for tm in _TERM_RE.finditer(rows_text):
-                values_rows.append([_resolve_term(tm.group(1), prefixes)])
-        else:
-            for rm in re.finditer(r"\(([^)]*)\)", rows_text):
-                row = [_resolve_term(tm.group(1), prefixes) for tm in _TERM_RE.finditer(rm.group(1))]
-                if len(row) != len(values_vars):
-                    raise ValueError(f"VALUES row arity mismatch: {rm.group(0)!r}")
-                values_rows.append(row)
-        out = text[: vm.start()] + " " + text[vm.end() :]
-        if re.search(r"\bVALUES\b", out, re.I):
-            raise ValueError("multiple VALUES clauses are unsupported")
-        return out
-
-    body = take_graphs(body)
-    body = take_optionals(body)
-    body = take_values(body)
-    body = take_filters(body, filters)
-
-    # UNION: '{ A } UNION { B } [UNION { C } …]' — one n-ary chain of
-    # brace groups (the reference gets arbitrary nesting from spareval;
-    # a second independent chain is rejected loudly rather than wrongly)
-    um = re.search(r"\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+", body, re.I | re.S)
-    if um:
-        for bm in re.finditer(r"\{([^{}]*)\}", um.group(0)):
-            unions.append(_parse_bgp(bm.group(1), prefixes))
-        body = body[: um.start()] + " " + body[um.end() :]
-    if re.search(r"\bUNION\b", body, re.I):
-        raise ValueError("multiple UNION chains / nested UNION are unsupported")
-
-    # remaining braces are PLAIN groups — for conjunctive queries a
-    # group join equals the flattened BGP (OPTIONAL/UNION/GRAPH/FILTER
-    # were already extracted above), so strip them (outside literals)
-    def strip_group_braces(text: str) -> str:
-        out, in_q, esc = [], False, False
-        for ch in text:
-            if esc:
-                out.append(ch)
-                esc = False
-                continue
-            if ch == "\\" and in_q:
-                out.append(ch)
-                esc = True
-                continue
-            if ch == '"':
-                in_q = not in_q
-            if ch in "{}" and not in_q:
-                out.append(" ")
-            else:
-                out.append(ch)
-        return "".join(out)
-
-    body = strip_group_braces(body)
-    patterns = (_parse_bgp(body, prefixes) if body.strip() else []) + graph_patterns
-
-    order_by: list[tuple[str, bool]] = []
-    om = _ORDER_RE.search(tail)
-    if om:
-        for it in _ORDER_ITEM_RE.finditer(om.group(1)):
-            if it.group(3):
-                order_by.append((it.group(3), False))
-            else:
-                order_by.append((it.group(2), it.group(1).upper() == "DESC"))
-    lm = _LIMIT_RE.search(tail)
-    fm = _OFFSET_RE.search(tail)
-    gm = re.search(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", tail, re.I)
-    group_by = re.findall(r"\?(\w+)", gm.group(1)) if gm else []
-    having: list[str] = []
-    hm = re.search(r"HAVING\s*\(", tail, re.I)
-    if hm:
-        d = 0
-        for i in range(hm.end() - 1, len(tail)):
-            if tail[i] == "(":
-                d += 1
-            elif tail[i] == ")":
-                d -= 1
-                if d == 0:
-                    having.append(tail[hm.end() : i])
-                    break
-
-    return SelectQuery(
-        variables=variables,
-        patterns=patterns,
-        optionals=optionals,
-        unions=unions,
-        filters=filters,
-        distinct=distinct,
-        order_by=order_by,
-        limit=int(lm.group(1)) if lm else None,
-        offset=int(fm.group(1)) if fm else None,
-        ask=ask,
-        aggregates=aggregates,
-        group_by=group_by,
-        having=having,
-        values_vars=values_vars,
-        values_rows=values_rows,
-    )
+__all__ = [
+    "parse_sparql",
+    "execute",
+    "sparql_select",
+    "sparql_construct",
+    "sparql_describe",
+]
 
 
 # ---------------------------------------------------------------------------
-# FILTER expression → Catalyst predicate (string-term semantics)
+# Expression compiler: Expr AST → (Column, tag)
+#
+# tags: 'term' (HDT term string), 'str', 'num', 'int', 'bool'
+# env: var name → (Column of term strings, tag)
 # ---------------------------------------------------------------------------
 
-_CMP_RE = re.compile(r'^\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*(.+?)\s*$')
-_REGEX_RE = re.compile(r'^\s*REGEX\s*\(\s*\?(\w+)\s*,\s*"((?:[^"\\]|\\.)*)"\s*(?:,\s*"([a-z]*)")?\s*\)\s*$', re.I)
-_BOUND_RE = re.compile(r"^\s*(!)?\s*BOUND\s*\(\s*\?(\w+)\s*\)\s*$", re.I)
-_ISKIND_RE = re.compile(r"^\s*(!)?\s*(isIRI|isURI|isLiteral|isBlank)\s*\(\s*\?(\w+)\s*\)\s*$", re.I)
-_FN_CMP_RE = re.compile(
-    r'^\s*(LANG|DATATYPE|STR)\s*\(\s*\?(\w+)\s*\)\s*(=|!=)\s*(.+?)\s*$', re.I
-)
-_STRFN_RE = re.compile(
-    r'^\s*(!)?\s*(STRSTARTS|STRENDS|CONTAINS)\s*\(\s*(?:STR\s*\(\s*)?\?(\w+)\s*\)?\s*,'
-    r'\s*"((?:[^"\\]|\\.)*)"\s*\)\s*$',
-    re.I,
-)
-_STRLEN_RE = re.compile(
-    r"^\s*STRLEN\s*\(\s*(?:STR\s*\(\s*)?\?(\w+)\s*\)?\s*\)\s*(=|!=|<=|>=|<|>)\s*(\d+)\s*$",
-    re.I,
-)
-_IN_RE = re.compile(r"^\s*\?(\w+)\s+(NOT\s+)?IN\s*\(([^)]*)\)\s*$", re.I)
+
+def _as_num(c: Column, tag: str) -> Column:
+    if tag in ("num", "int"):
+        return c
+    # try_cast: non-numeric terms (IRIs, plain strings) become NULL so
+    # the comparison is simply false — a numeric filter pushed over the
+    # whole vocabulary must not abort on the non-literal rows (ANSI
+    # mode makes a plain cast throw)
+    if tag == "term":
+        return terms.literal_value(c).try_cast("double")
+    if tag == "str":
+        return c.try_cast("double")
+    raise ValueError("cannot use a boolean as a number")
 
 
-def _filter_to_column(expr: str, prefixes: dict[str, str] | None = None):
-    for part, op in (("&&", "and"), ("||", "or")):
-        if part in expr:
-            left, right = expr.split(part, 1)
-            l, r = _filter_to_column(left), _filter_to_column(right)
-            return (l & r) if op == "and" else (l | r)
-    m = _REGEX_RE.match(expr)
-    if m:
-        var, pat, flags = m.group(1), m.group(2), m.group(3) or ""
+def _as_str(c: Column, tag: str) -> Column:
+    if tag == "str":
+        return c
+    if tag == "term":
+        return terms.sparql_csv_form(c)
+    if tag in ("num", "int"):
+        return c.cast("string")
+    return F.when(c, F.lit("true")).otherwise(F.lit("false"))
+
+
+def _as_bool(c: Column, tag: str) -> Column:
+    if tag == "bool":
+        return c
+    if tag == "term":
+        v = terms.literal_value(c)
+        return (v == "true") | (v == "1")
+    if tag in ("num", "int"):
+        return c != 0
+    return F.length(c) > 0
+
+
+def _const_str(e) -> str:
+    """Compile-time string constant (REGEX pattern, separator args…)."""
+    if isinstance(e, TermE) and e.term.startswith('"'):
+        return terms.literal_parts_py(e.term)[0]
+    if isinstance(e, TermE):
+        return e.term
+    raise ValueError(f"expected a string literal argument, got {e!r}")
+
+
+_CMP_OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _cmp(op: str, lc, lt, rc, rt):
+    if lt == "bool" or rt == "bool":
+        lc, rc = _as_bool(lc, lt), _as_bool(rc, rt)
+    elif lt in ("num", "int") or rt in ("num", "int"):
+        lc, rc = _as_num(lc, lt), _as_num(rc, rt)
+    elif lt == "str" or rt == "str":
+        lc, rc = _as_str(lc, lt), _as_str(rc, rt)
+    # term vs term: raw HDT string comparison (equality incl. datatype
+    # suffix; ordering = the reference's string collation)
+    return _CMP_OPS[op](lc, rc), "bool"
+
+
+def _ex(e, env: dict) -> tuple[Column, str]:
+    if isinstance(e, VarE):
+        if e.name not in env:
+            raise ValueError(f"variable ?{e.name} is not bound in this scope")
+        return env[e.name]
+    if isinstance(e, TermE):
+        if e.term.startswith('"') and e.term.endswith('"'):
+            # plain literal (no datatype/lang): SPARQL simple-literal
+            # comparisons work on the lexical form, so a var compared
+            # against it coerces to its string form (this also lets a
+            # GRAPH ?g string binding match a quoted graph name)
+            return F.lit(e.term[1:-1]), "str"
+        return F.lit(e.term), "term"
+    if isinstance(e, NumE):
+        return (F.lit(int(e.value)), "int") if e.is_int else (F.lit(e.value), "num")
+    if isinstance(e, BoolE):
+        return F.lit(e.value), "bool"
+    if isinstance(e, Un):
+        c, t = _ex(e.expr, env)
+        if e.op == "!":
+            return ~_as_bool(c, t), "bool"
+        return -_as_num(c, t), ("int" if t == "int" else "num")
+    if isinstance(e, Bin):
+        if e.op in ("||", "&&"):
+            lc, lt = _ex(e.left, env)
+            rc, rt = _ex(e.right, env)
+            lb, rb = _as_bool(lc, lt), _as_bool(rc, rt)
+            return (lb | rb) if e.op == "||" else (lb & rb), "bool"
+        if e.op in _CMP_OPS:
+            lc, lt = _ex(e.left, env)
+            rc, rt = _ex(e.right, env)
+            return _cmp(e.op, lc, lt, rc, rt)
+        # arithmetic
+        lc, lt = _ex(e.left, env)
+        rc, rt = _ex(e.right, env)
+        ln, rn = _as_num(lc, lt), _as_num(rc, rt)
+        col = {"+": ln + rn, "-": ln - rn, "*": ln * rn, "/": ln / rn}[e.op]
+        tag = "int" if (lt == "int" and rt == "int" and e.op != "/") else "num"
+        return col, tag
+    if isinstance(e, InE):
+        c, t = _ex(e.expr, env)
+        if t != "term":
+            raise ValueError("IN requires a variable or term on the left")
+        cond = c.isin(list(e.items))
+        return (~cond if e.neg else cond), "bool"
+    if isinstance(e, ExistsE):
+        raise ValueError(
+            "EXISTS is only supported as a FILTER constraint (optionally negated)"
+        )
+    if isinstance(e, Call):
+        return _call(e, env)
+    raise ValueError(f"unsupported expression: {e!r}")
+
+
+def _call(e: Call, env: dict) -> tuple[Column, str]:
+    name = e.name
+
+    def arg(i):
+        return _ex(e.args[i], env)
+
+    if name == "REGEX":
+        c, t = arg(0)
+        pat = _const_str(e.args[1])
+        flags = e.args[2] if len(e.args) > 2 else ""
         if "i" in flags:
             pat = "(?i)" + pat
-        return terms.sparql_csv_form(F.col(var)).rlike(pat)
-    m = _BOUND_RE.match(expr)
-    if m:
-        c = F.col(m.group(2)).isNotNull()
-        return ~c if m.group(1) else c
-    m = _ISKIND_RE.match(expr)
-    if m:
+        return _as_str(c, t).rlike(pat), "bool"
+    if name == "BOUND":
+        if not isinstance(e.args[0], VarE):
+            raise ValueError("BOUND requires a variable")
+        c, _ = arg(0)
+        return c.isNotNull(), "bool"
+    if name in ("ISIRI", "ISURI", "ISLITERAL", "ISBLANK"):
+        c, t = arg(0)
+        if t != "term":
+            raise ValueError(f"{name} requires an RDF term argument")
         kind = {
-            "isiri": terms.KIND_IRI,
-            "isuri": terms.KIND_IRI,
-            "isliteral": terms.KIND_LITERAL,
-            "isblank": terms.KIND_BNODE,
-        }[m.group(2).lower()]
-        c = terms.classify(F.col(m.group(3))) == kind
-        return ~c if m.group(1) else c
-    m = _FN_CMP_RE.match(expr)
-    if m:
-        fn, var, op, rhs = m.group(1).lower(), m.group(2), m.group(3), m.group(4).strip()
-        lhs = {
-            "lang": terms.literal_lang(F.col(var)),
-            "datatype": terms.literal_datatype(F.col(var)),
-            "str": terms.sparql_csv_form(F.col(var)),
-        }[fn]
-        if rhs.startswith('"'):
-            rv = re.match(r'^"((?:[^"\\]|\\.)*)"', rhs).group(1)
-        elif rhs.startswith("<"):
-            rv = rhs[1:-1]
+            "ISIRI": terms.KIND_IRI,
+            "ISURI": terms.KIND_IRI,
+            "ISLITERAL": terms.KIND_LITERAL,
+            "ISBLANK": terms.KIND_BNODE,
+        }[name]
+        return terms.classify(c) == kind, "bool"
+    if name == "LANG":
+        c, t = arg(0)
+        return terms.literal_lang(c), "str"
+    if name == "DATATYPE":
+        c, t = arg(0)
+        return terms.literal_datatype(c), "str"
+    if name == "STR":
+        c, t = arg(0)
+        return _as_str(c, t), "str"
+    if name in ("STRSTARTS", "STRENDS", "CONTAINS"):
+        lc, lt = arg(0)
+        rc, rt = arg(1)
+        ls, rs = _as_str(lc, lt), _as_str(rc, rt)
+        fn = {
+            "STRSTARTS": ls.startswith(rs),
+            "STRENDS": ls.endswith(rs),
+            "CONTAINS": ls.contains(rs),
+        }[name]
+        return fn, "bool"
+    if name == "STRLEN":
+        c, t = arg(0)
+        return F.length(_as_str(c, t)), "int"
+    if name == "SUBSTR":
+        c, t = arg(0)
+        pos = _as_num(*arg(1)).cast("int")
+        s = _as_str(c, t)
+        if len(e.args) > 2:
+            ln = _as_num(*arg(2)).cast("int")
+            return F.substring(s, pos, ln), "str"
+        return F.substring(s, pos, F.length(s)), "str"
+    if name in ("UCASE", "LCASE"):
+        c, t = arg(0)
+        return (F.upper if name == "UCASE" else F.lower)(_as_str(c, t)), "str"
+    if name in ("STRBEFORE", "STRAFTER"):
+        c, t = arg(0)
+        needle = _const_str(e.args[1])
+        s = _as_str(c, t)
+        pos = F.locate(needle, s)
+        if name == "STRBEFORE":
+            out = F.when(pos > 0, F.substring(s, F.lit(1), pos - 1)).otherwise(F.lit(""))
         else:
-            rv = rhs
-        c = lhs == F.lit(rv)
-        return c if op == "=" else ~c
-    m = _STRFN_RE.match(expr)
-    if m:
-        neg, fn, var, arg = m.group(1), m.group(2).lower(), m.group(3), m.group(4)
-        lhs = terms.sparql_csv_form(F.col(var))
-        c = {
-            "strstarts": lhs.startswith(arg),
-            "strends": lhs.endswith(arg),
-            "contains": lhs.contains(arg),
-        }[fn]
-        return ~c if neg else c
-    m = _STRLEN_RE.match(expr)
-    if m:
-        var, op, n = m.group(1), m.group(2), int(m.group(3))
-        lhs = F.length(terms.sparql_csv_form(F.col(var)))
-        rv = F.lit(n)
-        return {
-            "=": lhs == rv, "!=": lhs != rv, "<": lhs < rv,
-            "<=": lhs <= rv, ">": lhs > rv, ">=": lhs >= rv,
-        }[op]
-    m = _IN_RE.match(expr)
-    if m:
-        var, neg, items = m.group(1), m.group(2), m.group(3)
-        vals = []
-        for tok in re.findall(r'<[^>]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?', items):
-            vals.append(tok[1:-1] if tok.startswith("<") else tok)
-        c = F.col(var).isin(vals)
-        return ~c if neg else c
-    m = _CMP_RE.match(expr)
-    if m:
-        var, op, rhs = m.groups()
-        rhs = rhs.strip()
-        lhs = F.col(var)
-        if re.match(r"^[+-]?\d+(\.\d+)?$", rhs):
-            lhs = terms.literal_value(F.col(var)).cast("double")
-            rval = F.lit(float(rhs))
-        elif rhs.startswith('"'):
-            mm = re.match(r'^"((?:[^"\\]|\\.)*)"', rhs)
-            lhs = terms.sparql_csv_form(F.col(var))
-            rval = F.lit(mm.group(1))
-        elif rhs.startswith("<"):
-            rval = F.lit(rhs[1:-1])
-        elif rhs.startswith("?"):
-            rval = F.col(rhs[1:])
-        else:
-            rval = F.lit(rhs)
-        return {
-            "=": lhs == rval,
-            "!=": lhs != rval,
-            "<": lhs < rval,
-            "<=": lhs <= rval,
-            ">": lhs > rval,
-            ">=": lhs >= rval,
-        }[op]
-    raise ValueError(f"unsupported FILTER expression: {expr!r}")
+            out = F.when(
+                pos > 0, F.substring(s, pos + len(needle), F.length(s))
+            ).otherwise(F.lit(""))
+        return out, "str"
+    if name == "CONCAT":
+        cols = [_as_str(*_ex(a, env)) for a in e.args]
+        return F.concat(*cols), "str"
+    if name == "REPLACE":
+        c, t = arg(0)
+        return (
+            F.regexp_replace(_as_str(c, t), _const_str(e.args[1]), _const_str(e.args[2])),
+            "str",
+        )
+    if name == "ABS":
+        c, t = arg(0)
+        return F.abs(_as_num(c, t)), ("int" if t == "int" else "num")
+    if name in ("CEIL", "FLOOR"):
+        c, t = arg(0)
+        return (F.ceil if name == "CEIL" else F.floor)(_as_num(c, t)), "int"
+    if name == "ROUND":
+        c, t = arg(0)
+        return F.round(_as_num(c, t), 0), "num"
+    if name == "IF":
+        cond = _as_bool(*arg(0))
+        ac, at = arg(1)
+        bc, bt = arg(2)
+        if at != bt:
+            if at in ("num", "int") and bt in ("num", "int"):
+                ac, bc, at = _as_num(ac, at), _as_num(bc, bt), "num"
+            else:
+                ac, bc, at = _as_str(ac, at), _as_str(bc, bt), "str"
+        return F.when(cond, ac).otherwise(bc), at
+    if name == "COALESCE":
+        parts = [_ex(a, env) for a in e.args]
+        tags = {t for _, t in parts}
+        if len(tags) == 1:
+            tag = tags.pop()
+            return F.coalesce(*[c for c, _ in parts]), tag
+        if tags <= {"num", "int"}:
+            return F.coalesce(*[_as_num(c, t) for c, t in parts]), "num"
+        return F.coalesce(*[_as_str(c, t) for c, t in parts]), "str"
+    if name == "LANGMATCHES":
+        c, t = arg(0)
+        rng = _const_str(e.args[1]).lower()
+        lc = F.lower(_as_str(c, t))
+        if rng == "*":
+            return F.length(lc) > 0, "bool"
+        return (lc == rng) | lc.startswith(rng + "-"), "bool"
+    raise ValueError(f"unsupported builtin: {name}")
+
+
+def _render_term(col: Column, tag: str) -> Column:
+    """Computed value → HDT-convention term string (BIND / expr-AS)."""
+    if tag == "term":
+        return col
+    if tag == "str":
+        return F.concat(F.lit('"'), col, F.lit('"'))
+    if tag == "int":
+        return F.concat(
+            F.lit('"'), col.cast("long").cast("string"), F.lit(f'"^^<{XSD}integer>')
+        )
+    if tag == "num":
+        return F.concat(
+            F.lit('"'), col.cast("double").cast("string"), F.lit(f'"^^<{XSD}double>')
+        )
+    return F.when(col, F.lit(f'"true"^^<{XSD}boolean>')).otherwise(
+        F.lit(f'"false"^^<{XSD}boolean>')
+    )
 
 
 # ---------------------------------------------------------------------------
-# Executor
+# Algebra compiler: Node → DataFrame of variable columns
+# (uid-typed longs; GRAPH ?g / BIND vars are string columns)
 # ---------------------------------------------------------------------------
 
 
-def _filter_vars(expr: str) -> set[str]:
-    return set(re.findall(r"\?(\w+)", expr))
+def _decode_cols(kg: KnowledgeGraph, df: DataFrame, cols: list[str]) -> DataFrame:
+    """Decode the listed uid columns to term strings in place."""
+    return kg.decode_vars(df, cols)
 
 
-def _push_filter_uid(kg: KnowledgeGraph, sols: DataFrame, expr: str) -> DataFrame | None:
-    """Evaluate a single-variable FILTER in uid space, BEFORE any term
-    decode: the predicate runs over the (vocabulary-sized) term_uids
-    table and binds into the solutions as a broadcast semi-join — the
-    large intermediate never decodes just to be filtered (the round-1
-    plan decoded every variable first; at scale that decode join of a
-    big intermediate dominates).  Equivalent to post-decode filtering
-    because decode IS the term_uids join: rows whose term fails the
-    predicate — or whose var is NULL (unbound optional) — are dropped
-    by both.  Returns None when not pushable (multi-var expressions).
-    """
-    vars_in = _filter_vars(expr)
-    if len(vars_in) != 1:
+def _coerce_shared(kg: KnowledgeGraph, l: DataFrame, r: DataFrame):
+    """Shared columns of a join must agree on dtype; a uid (bigint)
+    column meeting a string column (BIND / GRAPH ?g binding) decodes
+    the uid side first."""
+    shared = [c for c in r.columns if c in l.columns]
+    lt, rt = dict(l.dtypes), dict(r.dtypes)
+    for c in shared:
+        if lt[c] != rt[c]:
+            if lt[c] == "bigint":
+                l = _decode_cols(kg, l, [c])
+            if rt[c] == "bigint":
+                r = _decode_cols(kg, r, [c])
+    return l, r, shared
+
+
+def _with_term_strs(kg: KnowledgeGraph, df: DataFrame, vars_: list[str]):
+    """Attach ``__s_<var>`` term-string columns for the uid-typed vars
+    (on-the-fly decode for a multi-var FILTER / BIND), returning
+    (df, env, temp_cols)."""
+    dtypes = dict(df.dtypes)
+    env: dict = {}
+    temp: list[str] = []
+    for v in vars_:
+        if v not in df.columns:
+            raise ValueError(f"variable ?{v} is not bound in this scope")
+        if dtypes[v] == "bigint":
+            tmp = f"__s_{v}"
+            uid_map = kg.term_uids.select(
+                F.col("uid").alias(v), F.col("term").alias(tmp)
+            )
+            df = df.join(uid_map, v, "left")
+            env[v] = (F.col(tmp), "term")
+            temp.append(tmp)
+        else:
+            env[v] = (F.col(v), "term")
+    return df, env, temp
+
+
+def _push_filter_uid(kg: KnowledgeGraph, sols: DataFrame, e) -> DataFrame | None:
+    """Single-variable FILTER evaluated in uid space: the predicate
+    runs over the vocabulary-sized term_uids table and semi-joins into
+    the solutions — the large intermediate never decodes just to be
+    filtered.  No broadcast hint: for low-selectivity/negated
+    predicates the matching set approaches the whole vocabulary, so
+    AQE picks the join strategy from the actual size at runtime.
+    Returns None when not pushable."""
+    vs = expr_vars(e)
+    if len(vs) != 1:
         return None
-    var = vars_in.pop()
-    if var not in sols.columns:
+    v = vs.pop()
+    if v not in sols.columns or dict(sols.dtypes).get(v) != "bigint":
         return None
-    if dict(sols.dtypes).get(var) != "bigint":
-        # already a string binding (GRAPH ?g) — filter it post-decode
+    # BOUND is a null test on the binding itself — term_uids rows are
+    # never null, so it must not be pushed to the vocabulary
+    if expr_has(e, lambda x: isinstance(x, Call) and x.name == "BOUND"):
         return None
-    m = _BOUND_RE.match(expr)
-    if m:
-        # BOUND needs no term at all — it is a null test on the uid
-        c = F.col(var).isNotNull()
-        return sols.where(~c if m.group(1) else c)
+    if expr_has(e, lambda x: isinstance(x, ExistsE)):
+        return None
     try:
-        cond = _filter_to_column(expr)
+        cond, tag = _ex(e, {v: (F.col("term"), "term")})
     except ValueError:
         return None
-    matching = (
-        kg.term_uids.select(F.col("term").alias(var), "uid")
-        .where(cond)
-        .select(F.col("uid").alias(var))
+    matching = kg.term_uids.where(_as_bool(cond, tag)).select(F.col("uid").alias(v))
+    return sols.join(matching, v, "left_semi")
+
+
+def _apply_exists(
+    kg: KnowledgeGraph, df: DataFrame, ex: ExistsE, graph: str | None
+) -> DataFrame:
+    """FILTER (NOT) EXISTS { group } → left_semi / left_anti join on
+    the shared variables (spareval gives the reference the same
+    semantics via src/sparql.rs:520)."""
+    inner = _compile(kg, ex.group, graph)
+    if inner is None:
+        raise ValueError("EXISTS over an empty group")
+    l, r, shared = _coerce_shared(kg, df, inner)
+    if not shared:
+        # uncorrelated EXISTS: constant truth — bounded emptiness probe
+        nonempty = not inner.limit(1).isEmpty()
+        keep = (not nonempty) if ex.neg else nonempty
+        return df if keep else df.where(F.lit(False))
+    how = "left_anti" if ex.neg else "left_semi"
+    return l.join(r.select(*shared).dropDuplicates(), shared, how)
+
+
+def _apply_filter(kg: KnowledgeGraph, df: DataFrame, e, graph: str | None) -> DataFrame:
+    # EXISTS / NOT EXISTS (possibly under a single negation)
+    if isinstance(e, ExistsE):
+        return _apply_exists(kg, df, e, graph)
+    if isinstance(e, Un) and e.op == "!" and isinstance(e.expr, ExistsE):
+        flipped = ExistsE(e.expr.group, not e.expr.neg)
+        return _apply_exists(kg, df, flipped, graph)
+    pushed = _push_filter_uid(kg, df, e)
+    if pushed is not None:
+        return pushed
+    vs = sorted(expr_vars(e))
+    df2, env, temp = _with_term_strs(kg, df, vs)
+    cond, tag = _ex(e, env)
+    return df2.where(_as_bool(cond, tag)).drop(*temp)
+
+
+def _values_df(kg: KnowledgeGraph, node: ValuesNode) -> DataFrame:
+    """VALUES rows resolved to uids through the vocabulary (a term
+    absent from the graph matches nothing, like any constant bind)."""
+    spark = kg.triples.sparkSession
+    vdf = spark.createDataFrame(
+        [tuple(r) for r in node.rows], [f"__t_{v}" for v in node.vars]
     )
-    return sols.join(F.broadcast(matching), var, "left_semi")
+    for v in node.vars:
+        vdf = vdf.join(
+            kg.term_uids.select(F.col("term").alias(f"__t_{v}"), F.col("uid").alias(v)),
+            f"__t_{v}",
+        )
+    return vdf.select(*node.vars).dropDuplicates()
 
 
-def execute(kg: KnowledgeGraph, q: SelectQuery) -> DataFrame:
-    """Run a parsed query; returns solutions with *string* term columns."""
-    if q.unions:
-        branches = []
-        for branch in q.unions:
-            bq = SelectQuery(variables=q.variables, patterns=q.patterns + branch)
-            branches.append(compile_bgp(kg, bq.patterns))
-        all_vars = sorted({c for b in branches for c in b.columns})
-        padded = [
-            b.select(*[F.col(c) if c in b.columns else F.lit(None).cast("long").alias(c) for c in all_vars])
-            for b in branches
+def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
+    """Algebra node → DataFrame (None = the empty/unit pattern)."""
+    if node is None:
+        return None
+
+    if isinstance(node, BGPNode):
+        pats = [
+            TriplePattern(p.s, p.p, p.o, graph) if p.graph is None else p
+            for p in node.patterns
         ]
-        sols = padded[0]
-        for b in padded[1:]:
-            sols = sols.unionByName(b)
-    else:
-        sols = compile_bgp(kg, q.patterns)
+        return compile_bgp(kg, pats)
 
-    for opt in q.optionals:
-        right = compile_bgp(kg, opt.patterns)
-        # filters written inside OPTIONAL{…} scope to the right side of
-        # the left join (applied before joining, in uid space)
-        for f in opt.filters:
-            if not _filter_vars(f) <= set(right.columns):
+    if isinstance(node, JoinNode):
+        l = _compile(kg, node.left, graph)
+        r = _compile(kg, node.right, graph)
+        if l is None:
+            return r
+        if r is None:
+            return l
+        l, r, shared = _coerce_shared(kg, l, r)
+        if shared:
+            return l.join(r, shared, "inner")
+        return l.crossJoin(r)
+
+    if isinstance(node, LeftJoinNode):
+        l = _compile(kg, node.left, graph)
+        r = _compile(kg, node.right, graph)
+        if r is None:
+            raise ValueError("OPTIONAL over an empty group")
+        if l is None:
+            # OPTIONAL as the first group element: equivalent to the
+            # group itself for the supported (non-empty-right) case
+            for f in node.filters:
+                r = _apply_filter(kg, r, f, graph)
+            return r
+        # filters written inside OPTIONAL { … } scope to the right side
+        # of the left join (SPARQL LeftJoin expression); filters that
+        # reference outer variables are not expressible this way
+        for f in node.filters:
+            if not expr_vars(f) <= set(r.columns):
                 raise ValueError(
-                    f"FILTER inside OPTIONAL referencing outer variables is unsupported: {f!r}"
+                    "FILTER inside OPTIONAL referencing outer variables is unsupported"
                 )
-            pushed = _push_filter_uid(kg, right, f)
-            if pushed is None:
-                raise ValueError(f"unsupported FILTER inside OPTIONAL: {f!r}")
-            right = pushed
-        shared = [c for c in right.columns if c in sols.columns]
-        sols = sols.join(right, shared, "left")
+            r = _apply_filter(kg, r, f, graph)
+        l, r, shared = _coerce_shared(kg, l, r)
+        if shared:
+            return l.join(r, shared, "left")
+        return l.join(r, F.lit(True), "left")
 
-    if q.values_vars:
-        # VALUES joins in uid space: the value terms resolve to uids
-        # through the vocabulary (a term absent from the graph matches
-        # nothing, like any other constant bind), then one broadcast
-        # inner join constrains the solutions
-        missing = [v for v in q.values_vars if v not in sols.columns]
-        if missing:
-            raise ValueError(f"VALUES variables not bound by the BGP: {missing}")
-        spark = sols.sparkSession
-        vdf = spark.createDataFrame(
-            [tuple(r) for r in q.values_rows], [f"__t_{v}" for v in q.values_vars]
-        )
-        for v in q.values_vars:
-            vdf = vdf.join(
-                kg.term_uids.select(
-                    F.col("term").alias(f"__t_{v}"), F.col("uid").alias(v)
-                ),
-                f"__t_{v}",
-            )
-        sols = sols.join(
-            F.broadcast(vdf.select(*q.values_vars).dropDuplicates()),
-            q.values_vars,
-            "inner",
-        )
+    if isinstance(node, MinusNode):
+        l = _compile(kg, node.left, graph)
+        r = _compile(kg, node.right, graph)
+        if l is None or r is None:
+            return l
+        l, r, shared = _coerce_shared(kg, l, r)
+        if not shared:
+            # disjoint domains remove nothing (SPARQL 1.1 §8.3)
+            return l
+        return l.join(r.select(*shared).dropDuplicates(), shared, "left_anti")
 
-    # top-level filters: single-var expressions bind in uid space …
-    post_decode: list[str] = []
-    for f in q.filters:
-        pushed = _push_filter_uid(kg, sols, f)
-        if pushed is not None:
-            sols = pushed
+    if isinstance(node, UnionNode):
+        dfs = [_compile(kg, b, graph) for b in node.branches]
+        if any(d is None for d in dfs):
+            raise ValueError("UNION branch is an empty group")
+        # resolve per-column dtypes across branches: a var that is a
+        # uid in one branch and a string in another decodes everywhere
+        all_cols = sorted({c for d in dfs for c in d.columns})
+        col_types: dict[str, set] = {c: set() for c in all_cols}
+        for d in dfs:
+            for c, t in d.dtypes:
+                col_types[c].add(t)
+        for i, d in enumerate(dfs):
+            fix = [
+                c for c, t in d.dtypes
+                if t == "bigint" and "string" in col_types[c]
+            ]
+            if fix:
+                dfs[i] = _decode_cols(kg, d, fix)
+        padded = []
+        for d in dfs:
+            cols = []
+            for c in all_cols:
+                if c in d.columns:
+                    cols.append(F.col(c))
+                else:
+                    target = "string" if "string" in col_types[c] else "long"
+                    cols.append(F.lit(None).cast(target).alias(c))
+            padded.append(d.select(*cols))
+        out = padded[0]
+        for d in padded[1:]:
+            out = out.unionByName(d)
+        return out
+
+    if isinstance(node, FilterNode):
+        df = _compile(kg, node.child, graph)
+        if df is None:
+            raise ValueError("FILTER over an empty group")
+        for e in node.exprs:
+            df = _apply_filter(kg, df, e, graph)
+        return df
+
+    if isinstance(node, ExtendNode):
+        df = _compile(kg, node.child, graph)
+        vs = sorted(expr_vars(node.expr))
+        if df is None:
+            if vs:
+                raise ValueError("BIND over an empty group cannot reference variables")
+            spark = kg.triples.sparkSession
+            df = spark.range(1).drop("id")
+            env: dict = {}
+            temp: list[str] = []
         else:
-            post_decode.append(f)
+            if node.var in df.columns:
+                raise ValueError(f"BIND reuses an in-scope variable: ?{node.var}")
+            df, env, temp = _with_term_strs(kg, df, vs)
+        col, tag = _ex(node.expr, env)
+        return df.withColumn(node.var, _render_term(col, tag)).drop(*temp)
+
+    if isinstance(node, GraphScopeNode):
+        return _compile(kg, node.child, node.term)
+
+    if isinstance(node, ValuesNode):
+        return _values_df(kg, node)
+
+    raise ValueError(f"unsupported algebra node: {type(node).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# Query-form execution
+# ---------------------------------------------------------------------------
+
+
+def _env_for(df: DataFrame) -> dict:
+    """Expression env over a decoded solutions DataFrame: string
+    columns are term strings; numeric columns (aggregate results)
+    compare as numbers."""
+    env = {}
+    for c, t in df.dtypes:
+        env[c] = (F.col(c), "term" if t == "string" else "num")
+    return env
+
+
+def execute(kg: KnowledgeGraph, q: ParsedQuery) -> DataFrame:
+    """Run a parsed query; returns solutions with *string* term columns
+    (aggregate aliases stay numeric)."""
+    if q.algebra is None:
+        raise ValueError("query has no WHERE clause")
+    sols = _compile(kg, q.algebra, None)
+    if sols is None:
+        raise ValueError("empty WHERE group")
 
     var_cols = list(sols.columns)
     decoded = kg.decode_vars(sols, var_cols)
 
-    # … multi-var expressions (?a = ?b) run on the decoded strings
-    for f in post_decode:
-        decoded = decoded.where(_filter_to_column(f))
+    # SELECT (expr AS ?alias) — non-aggregate computed projections
+    for alias, e in q.select_exprs:
+        env = _env_for(decoded)
+        col, tag = _ex(e, env)
+        decoded = decoded.withColumn(alias, _render_term(col, tag))
 
     if q.aggregates:
         aggs = []
@@ -734,7 +649,8 @@ def execute(kg: KnowledgeGraph, q: SelectQuery) -> DataFrame:
                     aggs.append(F.count(a.var).alias(a.alias))
                 continue
             # numeric aggregates operate on the literal's lexical value
-            col = terms.literal_value(F.col(a.var)).cast("double")
+            # (try_cast: non-numeric terms aggregate as NULL, not abort)
+            col = terms.literal_value(F.col(a.var)).try_cast("double")
             if a.func == "sum":
                 aggs.append(F.sum(col).alias(a.alias))
             elif a.func == "avg":
@@ -746,27 +662,21 @@ def execute(kg: KnowledgeGraph, q: SelectQuery) -> DataFrame:
             elif a.func == "sample":
                 aggs.append(F.first(F.col(a.var)).alias(a.alias))
             elif a.func == "group_concat":
-                aggs.append(F.concat_ws(" ", F.collect_list(F.col(a.var))).alias(a.alias))
+                aggs.append(
+                    F.concat_ws(a.sep, F.collect_list(F.col(a.var))).alias(a.alias)
+                )
         grouped = decoded.groupBy(*q.group_by) if q.group_by else decoded.groupBy()
         decoded = grouped.agg(*aggs)
-        # HAVING: comparisons over aggregate aliases (already-numeric
-        # columns — not term strings, so not _filter_to_column's job)
         for h in q.having:
-            hm = re.match(r"^\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*([+-]?\d+(?:\.\d+)?)\s*$", h)
-            if not hm:
-                raise ValueError(f"unsupported HAVING expression: {h!r}")
-            lhs = F.col(hm.group(1))
-            rv = F.lit(float(hm.group(3)))
-            decoded = decoded.where(
-                {
-                    "=": lhs == rv, "!=": lhs != rv, "<": lhs < rv,
-                    "<=": lhs <= rv, ">": lhs > rv, ">=": lhs >= rv,
-                }[hm.group(2)]
-            )
+            cond, tag = _ex(h, _env_for(decoded))
+            decoded = decoded.where(_as_bool(cond, tag))
         proj = (q.variables or q.group_by) + [a.alias for a in q.aggregates]
         decoded = decoded.select(*proj)
     else:
-        proj = q.variables or var_cols
+        if q.variables or q.select_exprs:
+            proj = q.variables + [alias for alias, _ in q.select_exprs]
+        else:
+            proj = var_cols
         decoded = decoded.select(*proj)
 
     if q.distinct:
@@ -783,8 +693,10 @@ def execute(kg: KnowledgeGraph, q: SelectQuery) -> DataFrame:
 
 
 def sparql_select(kg: KnowledgeGraph, query: str) -> DataFrame:
-    """Parse + execute a SPARQL-lite SELECT/ASK; string-term columns."""
+    """Parse + execute a SPARQL SELECT/ASK; string-term columns."""
     q = parse_sparql(query)
+    if q.form not in ("select", "ask"):
+        raise ValueError(f"expected SELECT/ASK, got {q.form.upper()}")
     result = execute(kg, q)
     if q.ask:
         spark = result.sparkSession
@@ -793,45 +705,28 @@ def sparql_select(kg: KnowledgeGraph, query: str) -> DataFrame:
     return result
 
 
-_CONSTRUCT_RE = re.compile(r"CONSTRUCT\s*\{", re.I)
-
-
 def sparql_construct(kg: KnowledgeGraph, query: str) -> DataFrame:
-    """CONSTRUCT { template } WHERE { BGP … } → (s, p, o) string triples.
+    """CONSTRUCT { template } WHERE { … } → (s, p, o) string triples.
 
     The reference gets CONSTRUCT from oxigraph and serializes via
     oxrdfio (src/query.rs:155-175); here the template is instantiated
     per solution with a select per template triple + union + distinct
-    (CONSTRUCT produces a graph, i.e. a triple SET).
-    """
-    m = _CONSTRUCT_RE.search(query)
-    if not m:
+    (CONSTRUCT produces a graph, i.e. a triple SET)."""
+    q = parse_sparql(query)
+    if q.form != "construct":
         raise ValueError("not a CONSTRUCT query")
-    # template block: first {...} after CONSTRUCT
-    start = m.end() - 1
-    depth = 0
-    end = start
-    for i in range(start, len(query)):
-        if query[i] == "{":
-            depth += 1
-        elif query[i] == "}":
-            depth -= 1
-            if depth == 0:
-                end = i
-                break
-    template_text = query[start + 1 : end]
-    q = _strip_comments(query)
-    prefixes = {pm.group(1): pm.group(2) for pm in _PREFIX_RE.finditer(q)}
-    template = _parse_bgp(_strip_comments(template_text), prefixes)
-
-    # rewrite as a SELECT * over the WHERE clause
-    select_query = "\n".join(
-        pm.group(0) for pm in _PREFIX_RE.finditer(query)
-    ) + "\nSELECT * " + query[end + 1 :]
-    sols = sparql_select(kg, select_query)
-
+    sols = execute(
+        kg,
+        ParsedQuery(
+            form="select",
+            algebra=q.algebra,
+            order_by=q.order_by,
+            limit=q.limit,
+            offset=q.offset,
+        ),
+    )
     parts = []
-    for t in template:
+    for t in q.construct_template:
         cols = []
         for pos_name, term in (("s", t.s), ("p", t.p), ("o", t.o)):
             if term.startswith("?"):
@@ -845,9 +740,6 @@ def sparql_construct(kg: KnowledgeGraph, query: str) -> DataFrame:
     return out.dropDuplicates()
 
 
-_DESCRIBE_RE = re.compile(r"DESCRIBE\s+([^{]*?)\s*(?:WHERE\s*)?(\{|$)", re.I | re.S)
-
-
 def sparql_describe(kg: KnowledgeGraph, query: str) -> DataFrame:
     """DESCRIBE <iri>… | DESCRIBE ?v… WHERE { … } → (s, p, o) triples.
 
@@ -859,34 +751,27 @@ def sparql_describe(kg: KnowledgeGraph, query: str) -> DataFrame:
 
     The described set is resolved in uid space: constants and solution
     bindings become a tiny uid table broadcast-semi-joined against the
-    triples' s_id — only the matching triples ever decode to strings.
-    """
-    q = _strip_comments(query)
-    prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(q)}
-    m = _DESCRIBE_RE.search(q)
-    if not m:
+    triples' s_id — only the matching triples ever decode to strings."""
+    q = parse_sparql(query)
+    if q.form != "describe":
         raise ValueError("not a DESCRIBE query")
-    targets = [t for t in re.findall(r"\?\w+|<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*", m.group(1))]
-    if not targets:
-        raise ValueError("DESCRIBE needs at least one variable or IRI")
-    variables = [t[1:] for t in targets if t.startswith("?")]
-    consts = [_resolve_term(t, prefixes) for t in targets if not t.startswith("?")]
+    variables = [t[1:] for t in q.describe_targets if t.startswith("?")]
+    consts = [t for t in q.describe_targets if not t.startswith("?")]
 
     spark = kg.triples.sparkSession
     term_parts: list[DataFrame] = []
     if consts:
         term_parts.append(spark.createDataFrame([(c,) for c in consts], ["term"]))
     if variables:
-        if m.group(2) != "{":
+        if q.algebra is None:
             raise ValueError("DESCRIBE with variables requires a WHERE clause")
-        select_query = (
-            "\n".join(pm.group(0) for pm in _PREFIX_RE.finditer(q))
-            + f"\nSELECT {' '.join('?' + v for v in variables)} "
-            + q[m.end() - 1 :]
+        sols = execute(
+            kg, ParsedQuery(form="select", variables=variables, algebra=q.algebra)
         )
-        sols = sparql_select(kg, select_query)
         for v in variables:
-            term_parts.append(sols.select(F.col(v).alias("term")).where(F.col("term").isNotNull()))
+            term_parts.append(
+                sols.select(F.col(v).alias("term")).where(F.col("term").isNotNull())
+            )
     described = term_parts[0]
     for p in term_parts[1:]:
         described = described.unionByName(p)

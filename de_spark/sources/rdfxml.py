@@ -14,8 +14,12 @@ subset ontologies actually ship with:
   references, nested node elements (recursive), and text literals with
   ``rdf:datatype`` or ``xml:lang``.
 
-``rdf:parseType`` and reification are outside the subset and rejected
-loudly.  Parsing runs inside ``mapInPandas`` over whole-file rows
+- ``rdf:parseType="Resource"`` (nested bnode whose property elements
+  are the element's children) and ``rdf:parseType="Collection"``
+  (rdf:first/rdf:rest chain over the child node elements).
+
+``rdf:parseType="Literal"`` and reification are outside the subset and
+rejected loudly.  Parsing runs inside ``mapInPandas`` over whole-file rows
 (one file = one row; many files parse in parallel across tasks — same
 batching contract as the Turtle converter).
 """
@@ -73,15 +77,31 @@ def parse_rdfxml(text: str, base: str = "") -> list[tuple[str, str, str]]:
             return f"_:{nid}"
         return fresh_bnode()
 
-    def walk_node(elem: ET.Element) -> str:
-        subj = subject_of(elem)
-        tag = _tag_iri(elem.tag)
-        if tag != RDF_NS + "Description":
-            triples.append((subj, RDF_TYPE, tag))
+    def walk_props(subj: str, elem: ET.Element) -> None:
         for prop in elem:
             p = _tag_iri(prop.tag)
-            if prop.get(f"{{{RDF_NS}}}parseType") is not None:
-                raise ValueError("rdf:parseType is outside the supported RDF/XML subset")
+            pt = prop.get(f"{{{RDF_NS}}}parseType")
+            if pt == "Resource":
+                # nested bnode whose property elements are the children
+                # (oxrdfio behavior via src/rdf2nt.rs:67)
+                b = fresh_bnode()
+                triples.append((subj, p, b))
+                walk_props(b, prop)
+                continue
+            if pt == "Collection":
+                items = [walk_node(child) for child in prop]
+                node = RDF_NS + "nil" if not items else fresh_bnode()
+                triples.append((subj, p, node))
+                for j, item in enumerate(items):
+                    triples.append((node, RDF_NS + "first", item))
+                    nxt = RDF_NS + "nil" if j == len(items) - 1 else fresh_bnode()
+                    triples.append((node, RDF_NS + "rest", nxt))
+                    node = nxt
+                continue
+            if pt is not None:
+                raise ValueError(
+                    f"rdf:parseType={pt!r} is outside the supported RDF/XML subset"
+                )
             res = prop.get(f"{{{RDF_NS}}}resource")
             nid = prop.get(f"{{{RDF_NS}}}nodeID")
             dt = prop.get(f"{{{RDF_NS}}}datatype")
@@ -101,6 +121,13 @@ def parse_rdfxml(text: str, base: str = "") -> list[tuple[str, str, str]]:
                 elif lang:
                     lit += f"@{lang}"
                 triples.append((subj, p, lit))
+
+    def walk_node(elem: ET.Element) -> str:
+        subj = subject_of(elem)
+        tag = _tag_iri(elem.tag)
+        if tag != RDF_NS + "Description":
+            triples.append((subj, RDF_TYPE, tag))
+        walk_props(subj, elem)
         return subj
 
     if _tag_iri(root.tag) == RDF_NS + "RDF":

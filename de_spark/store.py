@@ -49,18 +49,84 @@ def _graphs(spark: SparkSession, base_dir: str) -> set[str]:
     }
 
 
+_PENDING = ".pending_add.json"
+_ADD_TABLES = ("term_uids", "dict", "stats")  # triples handled per-partition
+
+
+def _list_files(base_dir: str, table: str) -> list[str]:
+    import os
+
+    root = f"{base_dir}/{table}"
+    out = []
+    for dirpath, _, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        for f in files:
+            out.append(f if rel == "." else f"{rel}/{f}")
+    return sorted(out)
+
+
+def _recover_pending(base_dir: str) -> None:
+    """Undo a torn ``add_graph``: the write-ahead marker records the
+    pre-existing files of every appended table; any file not in that
+    manifest was written by the interrupted transaction and is removed
+    (triples partitions of the pending graphs are dropped whole).  The
+    marker's removal is the COMMIT POINT — a crash anywhere before it
+    rolls the store back to the pre-add snapshot, so a replayed
+    streaming batch re-runs ``add_graph`` against clean state instead
+    of duplicating dict/triples rows (ADVICE r2: stats registration is
+    written last but the earlier appends were not undone on replay)."""
+    import json
+    import os
+    from urllib.parse import unquote
+
+    marker = f"{base_dir}/{_PENDING}"
+    if not os.path.exists(marker):
+        return
+    with open(marker) as f:
+        txn = json.load(f)
+    for table in _ADD_TABLES:
+        keep = set(txn["manifest"][table])
+        root = f"{base_dir}/{table}"
+        for rel in _list_files(base_dir, table):
+            if rel not in keep:
+                os.remove(os.path.join(root, rel))
+    tdir = f"{base_dir}/triples"
+    pending = set(txn["graphs"])
+    for d in os.listdir(tdir):
+        if d.startswith("graph=") and unquote(d[len("graph="):]) in pending:
+            shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+    os.remove(marker)
+
+
 def add_graph(spark: SparkSession, base_dir: str, triples_raw: DataFrame) -> None:
     """Append new named graph(s) to a materialized store.
 
     Every graph in ``triples_raw`` must be new (GraphExistsError
     otherwise).  One pass extends term_uids with unseen terms; the new
-    partitions are appended to triples/dict/stats.
+    partitions are appended to triples/dict/stats.  The append is
+    journaled: a write-ahead marker + file manifest makes a torn add
+    roll back on the next mutation (see ``_recover_pending``), so
+    foreachBatch replays are exactly-once.
     """
+    import json
+    import os
+
+    _recover_pending(base_dir)
     new_graphs = {r["graph"] for r in triples_raw.select("graph").distinct().collect()}
     existing = _graphs(spark, base_dir)
     clash = new_graphs & existing
     if clash:
         raise GraphExistsError(f"graphs already exist (immutable): {sorted(clash)}")
+
+    marker = f"{base_dir}/{_PENDING}"
+    txn = {
+        "graphs": sorted(new_graphs),
+        "manifest": {t: _list_files(base_dir, t) for t in _ADD_TABLES},
+    }
+    tmp_marker = marker + ".tmp"
+    with open(tmp_marker, "w") as f:
+        json.dump(txn, f)
+    os.replace(tmp_marker, marker)
 
     uids = spark.read.parquet(f"{base_dir}/term_uids")
     max_uid = uids.agg(F.max("uid").alias("m")).collect()[0]["m"] or 0
@@ -82,6 +148,7 @@ def add_graph(spark: SparkSession, base_dir: str, triples_raw: DataFrame) -> Non
         "append"
     ).partitionBy("graph").parquet(f"{base_dir}/triples")
     void_stats(triples_raw).write.mode("append").parquet(f"{base_dir}/stats")
+    os.remove(marker)  # COMMIT: the add is durable only past this point
     for h in handles:
         h.unpersist()
 
@@ -94,6 +161,7 @@ def drop_graph(spark: SparkSession, base_dir: str, graph: str) -> bool:
     layout it rewrites the unaffected partitions of the unpartitioned
     tables and drops the graph's partition dir from triples.
     """
+    _recover_pending(base_dir)
     if graph not in _graphs(spark, base_dir):
         return False
     # triples: partitioned by graph → drop the partition directory
@@ -162,4 +230,5 @@ def sync_dir(spark: SparkSession, base_dir: str, rdf_dir: str) -> tuple[list[str
 
 
 def load(spark: SparkSession, base_dir: str) -> KnowledgeGraph:
+    _recover_pending(base_dir)
     return KnowledgeGraph.load(spark, base_dir)

@@ -109,3 +109,93 @@ def test_router_all_formats(spark, tmp_path):
     )
     assert got == expect
     assert df.select("graph").distinct().collect()[0]["graph"] == "g"
+
+
+def test_turtle_blank_node_property_lists_and_collections():
+    """VERDICT r2 item 2: `[ … ]`, `( … )`, long and single-quoted
+    literals — the triple set oxigraph (oxrdfio via src/rdf2nt.rs:67)
+    would emit, with deterministic _:genidN labels."""
+    from de_spark.sources.turtle import RDF
+
+    ttl = """
+    @prefix ex: <http://example.org/>.
+    ex:Apple ex:nutrition [ ex:calories 52 ; ex:vitamins ( ex:VitaminC ex:VitaminB6 ) ] ;
+      ex:comment \"\"\"A crisp
+fruit with "quotes" inside\"\"\" ;
+      ex:alias 'pomme' .
+    [ ex:anonRoot true ] .
+    ex:Empty ex:list () .
+    """
+    got = parse_turtle(ttl)
+    ex = "http://example.org/"
+    assert (ex + "Apple", ex + "nutrition", "_:genid1") in got
+    assert ("_:genid1", ex + "calories", '"52"^^<http://www.w3.org/2001/XMLSchema#integer>') in got
+    # collection chain: genid2 → genid3 → rdf:nil
+    assert ("_:genid1", ex + "vitamins", "_:genid2") in got
+    assert ("_:genid2", RDF + "first", ex + "VitaminC") in got
+    assert ("_:genid2", RDF + "rest", "_:genid3") in got
+    assert ("_:genid3", RDF + "first", ex + "VitaminB6") in got
+    assert ("_:genid3", RDF + "rest", RDF + "nil") in got
+    # long literal: raw newline + quotes normalized to NT escapes
+    assert (ex + "Apple", ex + "comment", '"A crisp\\nfruit with \\"quotes\\" inside"') in got
+    assert (ex + "Apple", ex + "alias", '"pomme"') in got
+    # anonymous subject statement
+    assert ("_:genid4", ex + "anonRoot", '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>') in got
+    # empty collection = rdf:nil constant
+    assert (ex + "Empty", ex + "list", RDF + "nil") in got
+    assert len(got) == 11
+
+
+def test_turtle_nested_property_lists():
+    ttl = """
+    @prefix ex: <http://x/>.
+    ex:a ex:p [ ex:q [ ex:r 1 ] ] .
+    """
+    got = parse_turtle(ttl)
+    assert ("http://x/a", "http://x/p", "_:genid1") in got
+    assert ("_:genid1", "http://x/q", "_:genid2") in got
+    assert ("_:genid2", "http://x/r", '"1"^^<http://www.w3.org/2001/XMLSchema#integer>') in got
+    assert len(got) == 3
+
+
+def test_rdfxml_parsetype_resource_and_collection():
+    """VERDICT r2 item 8: rdf:parseType="Resource" → nested bnode;
+    parseType="Collection" → rdf:first/rest chain (oxrdfio behavior)."""
+    from de_spark.sources.rdfxml import RDF_NS, parse_rdfxml
+
+    xml = """<?xml version="1.0"?>
+    <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:ex="http://example.org/">
+      <rdf:Description rdf:about="http://example.org/Apple">
+        <ex:nutrition rdf:parseType="Resource">
+          <ex:calories rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">52</ex:calories>
+          <ex:fiber>high</ex:fiber>
+        </ex:nutrition>
+        <ex:vitamins rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://example.org/VitaminC"/>
+          <rdf:Description rdf:about="http://example.org/VitaminB6"/>
+        </ex:vitamins>
+      </rdf:Description>
+    </rdf:RDF>
+    """
+    got = parse_rdfxml(xml)
+    ex = "http://example.org/"
+    assert (ex + "Apple", ex + "nutrition", "_:rx1") in got
+    assert ("_:rx1", ex + "calories", '"52"^^<http://www.w3.org/2001/XMLSchema#integer>') in got
+    assert ("_:rx1", ex + "fiber", '"high"') in got
+    assert (ex + "Apple", ex + "vitamins", "_:rx2") in got
+    assert ("_:rx2", RDF_NS + "first", ex + "VitaminC") in got
+    assert ("_:rx2", RDF_NS + "rest", "_:rx3") in got
+    assert ("_:rx3", RDF_NS + "first", ex + "VitaminB6") in got
+    assert ("_:rx3", RDF_NS + "rest", RDF_NS + "nil") in got
+    assert len(got) == 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parseType"):
+        parse_rdfxml(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:ex="http://e/"><rdf:Description rdf:about="http://e/x">'
+            '<ex:p rdf:parseType="Literal"><b>x</b></ex:p>'
+            "</rdf:Description></rdf:RDF>"
+        )

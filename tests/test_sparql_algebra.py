@@ -1,0 +1,264 @@
+"""Round-3 recursive-descent parser: nested group graph patterns,
+BIND, FILTER (NOT) EXISTS, MINUS, nested UNION, FILTER arithmetic and
+the extended builtin library (VERDICT round-2 items 1/3/6 + ADVICE
+scope fixes).  The reference gets the full algebra from oxigraph's
+spargebra/spareval (src/sparql.rs:516-521)."""
+
+import pytest
+
+from de_spark.pipeline import build
+from de_spark.query import sparql_select
+from de_spark.query.parser import parse_sparql
+from de_spark.sources.nt import triples_from_nt_text
+from tests.fixtures import BANANA_NT, PINEAPPLE_TTL
+
+EX = "PREFIX ex: <http://example.org/>\n"
+
+
+@pytest.fixture(scope="module")
+def fruit_kg(spark, tmp_path_factory):
+    from tests.test_query import raw_from_ttl
+
+    out = str(tmp_path_factory.mktemp("fruit_kg_alg"))
+    raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt").unionByName(
+        raw_from_ttl(spark, PINEAPPLE_TTL, "file:///pineapple.hdt")
+    )
+    kg, _ = build(raw, out)
+    return kg
+
+
+@pytest.fixture(scope="module")
+def num_kg(spark, tmp_path_factory):
+    nt = "\n".join(
+        f'<http://x/s{i}> <http://x/val> "{v}"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+        for i, v in [(1, 10), (2, 30), (3, 5)]
+    )
+    out = str(tmp_path_factory.mktemp("num_kg"))
+    kg, _ = build(triples_from_nt_text(spark, nt, "file:///num.nt"), out)
+    return kg
+
+
+def names(df, col="f"):
+    return [r[col].rsplit("/", 1)[1] for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# scoped composition (the round-2 regex parser hoisted these blocks)
+# ---------------------------------------------------------------------------
+
+
+def test_graph_inside_optional_stays_optional(fruit_kg):
+    """ADVICE r2 item 1: a GRAPH block inside OPTIONAL must not be
+    hoisted into the required patterns — Pineapple's taste lives in the
+    other graph, so it survives with ?t unbound."""
+    q = EX + """
+    SELECT ?f ?t WHERE {
+      ?f a ex:Fruit .
+      OPTIONAL { GRAPH <file:///banana.hdt> { ?f ex:hasTaste ?t } }
+    } ORDER BY ?f
+    """
+    rows = sparql_select(fruit_kg, q).collect()
+    got = {r["f"].rsplit("/", 1)[1]: r["t"] for r in rows}
+    assert got == {"Banana": '"sweet"', "Pineapple": None}
+
+
+def test_optional_inside_union_branch(fruit_kg):
+    q = EX + """
+    SELECT ?f ?x ?v WHERE {
+      { ?f ex:hasShape ?x FILTER(STRSTARTS(?x, "cur")) }
+      UNION
+      { ?f ex:hasOrigin ?x OPTIONAL { ?f ex:hasVitamin ?v } }
+    } ORDER BY ?f ?x
+    """
+    rows = [
+        (r["f"].rsplit("/", 1)[1], r["x"], r["v"] and r["v"].rsplit("/", 1)[1])
+        for r in sparql_select(fruit_kg, q).collect()
+    ]
+    assert rows == [
+        ("Banana", '"Ecuador"', "VitaminB6"),
+        ("Banana", '"curved"', None),
+        ("Pineapple", '"Hawaii"', "VitaminC"),
+    ]
+
+
+def test_nested_union(fruit_kg):
+    q = EX + """
+    SELECT ?f ?x WHERE {
+      { { ?f ex:hasShape ?x } UNION { ?f ex:hasTaste ?x } }
+      UNION
+      { ?f ex:hasOrigin ?x }
+    } ORDER BY ?f ?x
+    """
+    rows = [(r["f"].rsplit("/", 1)[1], r["x"]) for r in sparql_select(fruit_kg, q).collect()]
+    assert rows == [
+        ("Banana", '"Ecuador"'),
+        ("Banana", '"curved"'),
+        ("Banana", '"sweet"'),
+        ("Pineapple", '"Hawaii"'),
+        ("Pineapple", '"oblong"'),
+        ("Pineapple", '"sweet"'),
+    ]
+
+
+def test_minus(fruit_kg):
+    q = EX + 'SELECT ?f WHERE { ?f a ex:Fruit . MINUS { ?f ex:hasShape "curved" } }'
+    assert names(sparql_select(fruit_kg, q)) == ["Pineapple"]
+    # MINUS with disjoint domains removes nothing (SPARQL 1.1 §8.3)
+    q2 = EX + 'SELECT ?f WHERE { ?f a ex:Fruit . MINUS { ?x ex:nope ?y } } ORDER BY ?f'
+    assert names(sparql_select(fruit_kg, q2)) == ["Banana", "Pineapple"]
+
+
+def test_filter_exists_and_not_exists(fruit_kg):
+    q = EX + """
+    SELECT ?f WHERE {
+      ?f a ex:Fruit .
+      FILTER NOT EXISTS { ?f ex:hasVitamin ex:VitaminC }
+    }
+    """
+    assert names(sparql_select(fruit_kg, q)) == ["Banana"]
+    q2 = EX + """
+    SELECT ?f WHERE {
+      ?f a ex:Fruit . FILTER EXISTS { ?f ex:hasVitamin ?v }
+    } ORDER BY ?f
+    """
+    assert names(sparql_select(fruit_kg, q2)) == ["Banana", "Pineapple"]
+    # negated EXISTS via ! is the same as NOT EXISTS
+    q3 = EX + """
+    SELECT ?f WHERE {
+      ?f a ex:Fruit . FILTER(!EXISTS { ?f ex:hasVitamin ex:VitaminC })
+    }
+    """
+    assert names(sparql_select(fruit_kg, q3)) == ["Banana"]
+
+
+# ---------------------------------------------------------------------------
+# BIND + expression library
+# ---------------------------------------------------------------------------
+
+
+def test_bind_string_functions(fruit_kg):
+    q = EX + """
+    SELECT ?f ?up WHERE {
+      ?f ex:hasOrigin ?o .
+      BIND(UCASE(?o) AS ?up)
+    } ORDER BY ?f
+    """
+    rows = [(r["f"].rsplit("/", 1)[1], r["up"]) for r in sparql_select(fruit_kg, q).collect()]
+    assert rows == [("Banana", '"ECUADOR"'), ("Pineapple", '"HAWAII"')]
+
+
+def test_bind_then_filter_on_bound_var(fruit_kg):
+    q = EX + """
+    SELECT ?f WHERE {
+      ?f ex:hasOrigin ?o .
+      BIND(STRLEN(?o) AS ?n)
+      FILTER(?n > 6)
+    }
+    """
+    assert names(sparql_select(fruit_kg, q)) == ["Banana"]  # Ecuador=7, Hawaii=6
+
+
+def test_filter_arithmetic(num_kg):
+    q = "SELECT ?s WHERE { ?s <http://x/val> ?v . FILTER(?v * 2 > 15) } ORDER BY ?s"
+    assert names(sparql_select(num_kg, q), "s") == ["s1", "s2"]
+    q2 = "SELECT ?s WHERE { ?s <http://x/val> ?v . FILTER(?v + 5 >= 35 || ?v / 5 = 1) } ORDER BY ?s"
+    assert names(sparql_select(num_kg, q2), "s") == ["s2", "s3"]
+    q3 = "SELECT ?s WHERE { ?s <http://x/val> ?v . FILTER(-?v < -9 && ?v - 1 != 29) }"
+    assert names(sparql_select(num_kg, q3), "s") == ["s1"]
+
+
+def test_bind_arithmetic_render(num_kg):
+    """Arithmetic over term-typed vars renders xsd:double (the static
+    compiler cannot see the operands' runtime datatypes, so SPARQL's
+    numeric promotion flattens to double — documented in
+    sparql._render_term)."""
+    q = "SELECT ?s ?d WHERE { ?s <http://x/val> ?v . BIND(?v * 2 AS ?d) } ORDER BY ?s"
+    rows = sparql_select(num_kg, q).collect()
+    assert [r["d"] for r in rows] == [
+        '"20.0"^^<http://www.w3.org/2001/XMLSchema#double>',
+        '"60.0"^^<http://www.w3.org/2001/XMLSchema#double>',
+        '"10.0"^^<http://www.w3.org/2001/XMLSchema#double>',
+    ]
+
+
+def test_string_builtin_library(fruit_kg):
+    base = EX + 'SELECT ?f WHERE {{ ?f ex:hasWeight ?w . FILTER({f}) }} ORDER BY ?f'
+
+    def fruits(f):
+        return names(sparql_select(fruit_kg, base.format(f=f)))
+
+    assert fruits('STRBEFORE(?w, " ") = "120"') == ["Banana"]
+    assert fruits('STRAFTER(?w, " ") = "grams"') == ["Banana", "Pineapple"]
+    assert fruits('SUBSTR(?w, 1, 3) = "500"') == ["Pineapple"]
+    assert fruits('LCASE(?w) = "120 grams"') == ["Banana"]
+    assert fruits('REPLACE(?w, "[0-9]+", "N") = "N grams"') == ["Banana", "Pineapple"]
+    assert fruits('CONCAT(STRBEFORE(?w, " "), "!") = "120!"') == ["Banana"]
+    assert fruits('IF(CONTAINS(?w, "120"), STRLEN(?w) = 9, false)') == ["Banana"]
+
+
+def test_coalesce_with_unbound_optional(fruit_kg):
+    q = EX + """
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?f ?lab WHERE {
+      ?f a ex:Fruit .
+      OPTIONAL { ?f rdfs:label ?l }
+      BIND(COALESCE(?l, "unlabeled") AS ?lab)
+    } ORDER BY ?f
+    """
+    rows = sparql_select(fruit_kg, q).collect()
+    assert [r["lab"] for r in rows] == ['"unlabeled"', '"unlabeled"']
+
+
+def test_select_expr_projection(num_kg):
+    q = "SELECT ?s (?v * 10 AS ?x) WHERE { ?s <http://x/val> ?v } ORDER BY ?s"
+    rows = sparql_select(num_kg, q).collect()
+    assert rows[0]["x"] == '"100.0"^^<http://www.w3.org/2001/XMLSchema#double>'
+
+
+def test_in_with_prefixed_names(fruit_kg):
+    """ADVICE r2 item 3: pnames in IN lists resolved via PREFIX, not
+    silently dropped."""
+    q = EX + "SELECT ?f WHERE { ?f a ex:Fruit . FILTER(?f IN (ex:Pineapple, ex:Durian)) }"
+    assert names(sparql_select(fruit_kg, q)) == ["Pineapple"]
+
+
+def test_multiple_values_clauses(fruit_kg):
+    q = EX + """
+    SELECT ?f ?c WHERE {
+      ?f ex:hasColor ?c .
+      VALUES ?f { ex:Banana ex:Pineapple }
+      VALUES ?c { "yellow" }
+    } ORDER BY ?f
+    """
+    assert names(sparql_select(fruit_kg, q)) == ["Banana", "Pineapple"]
+
+
+# ---------------------------------------------------------------------------
+# loud rejections for the still-unsupported shapes
+# ---------------------------------------------------------------------------
+
+
+def test_loud_rejections():
+    with pytest.raises(ValueError, match="subquer"):
+        parse_sparql("SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }")
+    with pytest.raises(ValueError, match="blank-node property lists"):
+        parse_sparql("SELECT ?s WHERE { ?s <http://x/p> [ <http://x/q> 1 ] }")
+    with pytest.raises(ValueError, match="negated property sets"):
+        parse_sparql("SELECT ?s WHERE { ?s !<http://x/p> ?o }")
+    with pytest.raises(ValueError, match="UNDEF"):
+        parse_sparql("SELECT ?f WHERE { ?f ?p ?o . VALUES ?f { UNDEF } }")
+    with pytest.raises(ValueError, match="undefined prefix"):
+        parse_sparql("SELECT ?s WHERE { ?s ex:p ?o }")
+    with pytest.raises(ValueError, match="SERVICE"):
+        parse_sparql("SELECT ?s WHERE { SERVICE <http://x> { ?s ?p ?o } }")
+
+
+def test_outer_var_filter_in_optional_rejected(fruit_kg):
+    q = EX + """
+    SELECT ?f WHERE {
+      ?f ex:hasTaste ?t .
+      OPTIONAL { ?f ex:hasShape ?s FILTER(?t = "sweet") }
+    }
+    """
+    with pytest.raises(ValueError, match="outer variables"):
+        sparql_select(fruit_kg, q).collect()

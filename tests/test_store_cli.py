@@ -120,3 +120,59 @@ def test_cli_create_view_query(spark, tmp_path, capsys):
         "http://example.org/Pineapple",
         "http://example.org/Banana",
     ]
+
+
+def test_torn_add_recovers_without_duplicates(spark, tmp_path):
+    """ADVICE r2: a crash mid-add_graph (some tables appended, stats
+    registration not yet written) must roll back on the next mutation,
+    so a replayed streaming batch re-adds without duplicating
+    dict/triples rows.  Simulated by restoring the write-ahead marker
+    after a completed add — recovery must undo the whole transaction."""
+    import json
+    import os
+
+    base = str(tmp_path / "store")
+    raw = triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt")
+    build(raw, base)
+
+    # snapshot pre-add state (what a torn add must roll back to)
+    pre_manifest = {t: store._list_files(base, t) for t in store._ADD_TABLES}
+    pre_counts = {
+        t: spark.read.parquet(f"{base}/{t}").count()
+        for t in ("term_uids", "dict", "stats", "triples")
+    }
+
+    # perform the add, then re-create the marker as if the crash hit
+    # AFTER the dict/triples appends but BEFORE the commit point
+    store.add_graph(spark, base, _pineapple_raw(spark))
+    with open(f"{base}/{store._PENDING}", "w") as f:
+        json.dump(
+            {"graphs": ["file:///pineapple.hdt"], "manifest": pre_manifest}, f
+        )
+
+    # replayed batch: recovery undoes the torn txn, the add runs clean
+    store.add_graph(spark, base, _pineapple_raw(spark))
+    assert not os.path.exists(f"{base}/{store._PENDING}")
+
+    kg = store.load(spark, base)
+    # no duplicate rows anywhere: uid density + exact decoded triple set
+    uids = [r["uid"] for r in kg.term_uids.collect()]
+    assert sorted(uids) == list(range(1, len(uids) + 1))
+    from de_spark.encode import decode_triples
+
+    decoded = [
+        (r["graph"], r["s"], r["p"], r["o"])
+        for r in decode_triples(kg.triples, kg.term_uids).select("graph", "s", "p", "o").collect()
+    ]
+    assert len(decoded) == len(set(decoded))  # no duplicated (graph, triple)
+    assert kg.stats.where("graph = 'file:///pineapple.hdt'").count() == 1
+
+    # rollback-only path: torn marker with NO replay → load() restores
+    # the pre-add snapshot
+    assert store.drop_graph(spark, base, "file:///pineapple.hdt") is True
+    post_counts = {
+        t: spark.read.parquet(f"{base}/{t}").count()
+        for t in ("stats", "triples")
+    }
+    assert post_counts["stats"] == pre_counts["stats"]
+    assert post_counts["triples"] == pre_counts["triples"]
