@@ -97,6 +97,68 @@ def _kg_graph_binding(spark, sf_dir):
     return kg.decode_vars(sols, ["doc", "g"]).select("g", "doc")
 
 
+def _kg_sparql_not_exists(spark, sf_dir):
+    """FILTER NOT EXISTS through the round-3 SPARQL TEXT surface
+    (recursive-descent parser → anti-join; the reference gets the
+    algebra from spargebra, src/sparql.rs:516-521): docs mentioning
+    'window' that are NOT English."""
+    from de_spark.query import sparql_select
+
+    kg = documents_kg(spark, sf_dir)
+    return sparql_select(
+        kg,
+        f"""
+        SELECT ?doc WHERE {{
+          ?doc <{CODE}mentions> <{ENT}word/window> .
+          FILTER NOT EXISTS {{ ?doc <{CODE}lang> "en" }}
+        }}
+        """,
+    )
+
+
+def _kg_sparql_union_minus(spark, sf_dir):
+    """UNION + MINUS through the SPARQL text surface: docs mentioning
+    'window' or 'stream', minus the English ones."""
+    from de_spark.query import sparql_select
+
+    kg = documents_kg(spark, sf_dir)
+    return sparql_select(
+        kg,
+        f"""
+        SELECT DISTINCT ?doc WHERE {{
+          {{ ?doc <{CODE}mentions> <{ENT}word/window> }}
+          UNION
+          {{ ?doc <{CODE}mentions> <{ENT}word/stream> }}
+          MINUS {{ ?doc <{CODE}lang> "en" }}
+        }}
+        """,
+    )
+
+
+_WORD_PREFIX_LEN = len(ENT + "word/")
+
+
+def _kg_sparql_bind_arith(spark, sf_dir):
+    """BIND + FILTER arithmetic + GROUP BY/COUNT through the SPARQL
+    text surface: per-doc count of long mentioned words (word length
+    ≥ 8, computed as STRLEN minus the IRI prefix with an arithmetic
+    comparison — VERDICT r2 item 6's 'arithmetic filter with an exact
+    oracle')."""
+    from de_spark.query import sparql_select
+
+    kg = documents_kg(spark, sf_dir)
+    return sparql_select(
+        kg,
+        f"""
+        SELECT ?doc (COUNT(?w) AS ?n_long) WHERE {{
+          ?doc <{CODE}mentions> ?w .
+          BIND(STRLEN(STR(?w)) AS ?l)
+          FILTER(?l - {_WORD_PREFIX_LEN} >= 8)
+        }} GROUP BY ?doc
+        """,
+    )
+
+
 def _kg_mentions_degree(spark, sf_dir):
     """Hub-degree profile of the mentions predicate (the skew surface)."""
     t = documents_triples(spark, sf_dir)
@@ -331,6 +393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_mentions": _kg_bgp_mentions,
         "kg_path_comention": _kg_path_comention,
         "kg_graph_binding": _kg_graph_binding,
+        "kg_sparql_not_exists": _kg_sparql_not_exists,
+        "kg_sparql_union_minus": _kg_sparql_union_minus,
+        "kg_sparql_bind_arith": _kg_sparql_bind_arith,
         "kg_mentions_degree": _kg_mentions_degree,
         # relational operators
         "q1_pricing_summary": _q1_pricing_summary,
@@ -578,6 +643,31 @@ def oracle_sql() -> dict[str, str]:
         + f"""
         SELECT o, count(*) AS degree FROM triples
         WHERE p = '{CODE}mentions' GROUP BY o
+        """,
+        "kg_sparql_not_exists": TRIPLES_SQL
+        + f"""
+        SELECT a.s AS doc FROM triples a
+        WHERE a.p = '{CODE}mentions' AND a.o = '{ENT}word/window'
+          AND NOT EXISTS (
+            SELECT 1 FROM triples b
+            WHERE b.s = a.s AND b.p = '{CODE}lang' AND b.o = '"en"'
+          )
+        """,
+        "kg_sparql_union_minus": TRIPLES_SQL
+        + f"""
+        SELECT DISTINCT s AS doc FROM triples
+        WHERE p = '{CODE}mentions'
+          AND o IN ('{ENT}word/window', '{ENT}word/stream')
+          AND s NOT IN (
+            SELECT s FROM triples WHERE p = '{CODE}lang' AND o = '"en"'
+          )
+        """,
+        "kg_sparql_bind_arith": TRIPLES_SQL
+        + f"""
+        SELECT s AS doc, count(*) AS n_long FROM triples
+        WHERE p = '{CODE}mentions'
+          AND length(o) - {_WORD_PREFIX_LEN} >= 8
+        GROUP BY s
         """,
         "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
