@@ -169,17 +169,25 @@ def minhash_lsh_pairs(
             ]
         )
     ).alias("bb")
-    banded = sigs.select("doc_id", "sig", band_cols).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # the banded candidate join shuffles SLIM (doc_id, band, bucket)
+    # rows only — signatures re-attach after the (a, b) dedup, cutting
+    # the band-join payload ~8× (two 32-long arrays otherwise ride
+    # every banded row through the shuffle)
+    sigs = sigs.persist()
+    banded = sigs.select("doc_id", band_cols).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    left = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket")
-    right = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket")
-    cand = (
+    left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
+    cand_ids = (
         left.join(right, ["band", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    cand = cand_ids.join(
+        sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a"
+    ).join(sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b")
     sim = F.round(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
         / F.size("sig_a"),
@@ -341,8 +349,8 @@ def embedding_neardup_lsh(
     from de_spark.ops.similarity import _cosine, multi_table_signatures
 
     sigs = multi_table_signatures(
-        embeddings, n_planes, n_tables, dim, seed, id_col, vec_col
-    ).select("vec_id", "table", "bucket")
+        embeddings, n_planes, n_tables, dim, seed, id_col, vec_col, include_vec=False
+    )
 
     # asymmetric multiprobe: ONE side expands its bucket to the hamming
     # ball (hamming(sig_a, sig_b) ≤ r  ⇔  b's bucket ∈ ball(a's bucket))

@@ -112,10 +112,16 @@ def multi_table_signatures(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_vec: bool = True,
 ) -> DataFrame:
-    """(vec_id, embedding, table, bucket) for ALL hash tables in ONE
+    """(vec_id[, embedding], table, bucket) for ALL hash tables in ONE
     projection over ONE scan of the input (round 1 scanned the
     embeddings once per table — n_tables× the IO at 100 TB).
+
+    ``include_vec=False`` keeps the vector out of the exploded rows —
+    the near-dup candidate path only joins (id, table, bucket), so
+    carrying the embedding n_tables× through the explode is pure
+    shuffle payload (the top-k path keeps it to skip a re-join).
     """
     v = F.col(vec_col).cast("array<double>")
     entries = [
@@ -125,11 +131,16 @@ def multi_table_signatures(
         )
         for t, planes in enumerate(_table_planes(dim, n_planes, n_tables, seed))
     ]
+    carried = [F.col(vec_col).alias("embedding")] if include_vec else []
+    out_cols = (["vec_id", "embedding"] if include_vec else ["vec_id"]) + [
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    ]
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
+        *carried,
         F.explode(F.array(*entries)).alias("tb"),
-    ).select("vec_id", "embedding", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    ).select(*out_cols)
 
 
 def _hamming_ball(bucket: int, n_planes: int, radius: int) -> list[int]:

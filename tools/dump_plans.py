@@ -21,6 +21,7 @@ SHOW = [
     ("q1_pricing_summary", "scan + partial/final agg (whole-stage codegen span)"),
     ("embedding_neardup", "LSH-bucketed near-dup: NO CartesianProduct/BroadcastNestedLoopJoin node"),
     ("kg_path_comention", "property path (seq+inverse): uid-pair joins, bound subject as broadcast semi"),
+    ("kg_sparql_not_exists", "FILTER NOT EXISTS through the SPARQL text parser: anti-join on uid solutions"),
     (
         "ann_ivf_topk",
         "IVF probe: the BroadcastNestedLoopJoin here is the INTENDED n-rows x "
