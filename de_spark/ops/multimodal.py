@@ -3,14 +3,14 @@ columns with typed metadata.
 
 The Spark-side plumbing (schema, partition-friendly batching, Arrow
 UDF signatures, frame-sampling math) is real and tested.  Decode
-kernels: PPM (P6) images and PCM WAV audio are decoded FOR REAL
-(numpy + stdlib ``wave`` — no external codec library needed), so the
-decode→feature path is exercised end-to-end on actual pixels/samples.
-Compressed formats (JPEG/PNG/MP4) are the honest stub — this container
-has no PIL/ffmpeg — raising NotImplementedError in strict mode or
-producing a deterministic fake behind the same interface.  Swapping in
-PIL/ffmpeg on a real cluster changes only those kernel bodies, not the
-plan.
+kernels: PPM (P6) and PNG images (zlib inflate + per-row filter
+reconstruction of all five PNG filters, numpy + stdlib — no PIL
+needed) and PCM WAV audio are decoded FOR REAL, so the decode→feature
+path is exercised end-to-end on actual pixels/samples.  JPEG/MP4
+remain the honest stub — this container has no PIL/ffmpeg — raising
+NotImplementedError in strict mode or producing a deterministic fake
+behind the same interface.  Swapping in PIL/ffmpeg on a real cluster
+changes only those kernel bodies, not the plan.
 """
 
 from __future__ import annotations
@@ -62,15 +62,7 @@ FRAME_SCHEMA = T.StructType(
 
 def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
     """Deterministic P6 PPM image: a seeded RGB gradient."""
-    x = np.arange(width, dtype=np.uint32)
-    y = np.arange(height, dtype=np.uint32)[:, None]
-    r = (x + seed) % 256
-    g = (y * 3 + seed * 7) % 256
-    b = (x[None, :] + y + seed * 13) % 256
-    arr = np.stack(
-        [np.broadcast_to(r, (height, width)), np.broadcast_to(g, (height, width)), b],
-        axis=-1,
-    ).astype(np.uint8)
+    arr = _gradient(width, height, seed)
     return f"P6\n{width} {height}\n255\n".encode() + arr.tobytes()
 
 
@@ -103,6 +95,162 @@ def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, arr.reshape(height, width, 3)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _gradient(width: int, height: int, seed: int) -> np.ndarray:
+    """The shared deterministic RGB gradient (same pixels as make_ppm)."""
+    x = np.arange(width, dtype=np.uint32)
+    y = np.arange(height, dtype=np.uint32)[:, None]
+    r = (x + seed) % 256
+    g = (y * 3 + seed * 7) % 256
+    b = (x[None, :] + y + seed * 13) % 256
+    return np.stack(
+        [np.broadcast_to(r, (height, width)), np.broadcast_to(g, (height, width)), b],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic 8-bit RGB PNG of the seeded gradient.  Each row is
+    filtered with type ``row % 5`` so a decoder must implement ALL five
+    PNG filters (None/Sub/Up/Average/Paeth) to round-trip it."""
+    import struct
+
+    arr = _gradient(width, height, seed)
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(width * bpp, dtype=np.int32)
+    for y in range(height):
+        row = arr[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), row[:-bpp]])
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prev) % 256
+        elif ft == 3:  # Average
+            filt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+            filt = (row - _paeth_vec(left, prev, ul)) % 256
+        raw.append(ft)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Real PNG decode with the stdlib + numpy (VERDICT r2 item 4 —
+    the one compressed image format decodable without PIL): chunk walk,
+    zlib inflate of the IDAT stream, per-row filter reconstruction for
+    all five filter types.  Supports 8-bit gray / gray+alpha / RGB /
+    RGBA, non-interlaced.  Returns (width, height, HxWx3 uint8) —
+    gray expands, alpha drops — so image features are format-agnostic.
+    """
+    import struct
+
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i = len(PNG_SIG)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while i + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        i += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG is unsupported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG has no IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((height, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        filt = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            recon = filt
+        elif ft == 1:  # Sub: per-channel prefix sum (mod is linear)
+            recon = np.cumsum(filt.reshape(width, bpp), axis=0).reshape(-1) % 256
+        elif ft == 2:  # Up
+            recon = (filt + prev) % 256
+        elif ft == 3:  # Average — left-sequential, loop per byte
+            recon = filt.copy()
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (filt[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth — left-sequential, loop per byte
+            recon = filt.copy()
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (filt[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = recon
+        prev = recon
+    px = out.astype(np.uint8).reshape(height, width, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=-1)
+    elif channels == 2:  # gray + alpha → gray expanded
+        px = np.repeat(px[..., :1], 3, axis=-1)
+    elif channels == 4:  # drop alpha
+        px = px[..., :3]
+    return width, height, px
+
+
 def make_wav(duration_ms: int, freq_hz: float = 440.0, rate: int = 8000, seed: int = 0) -> bytes:
     """Deterministic 16-bit mono PCM WAV: a sine with seeded phase."""
     n = max(int(rate * duration_ms / 1000), 1)
@@ -133,8 +281,9 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 
 
 def synthetic_media(spark: SparkSession, n: int = 64, partitions: int = 4) -> DataFrame:
-    """Deterministic media table: REAL PPM images and PCM WAVs, plus
-    opaque fake video payloads (mp4 decode needs ffmpeg — the stub)."""
+    """Deterministic media table: REAL PPM + PNG images and PCM WAVs,
+    plus opaque fake video payloads (mp4 decode needs ffmpeg — the
+    stub)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -142,7 +291,10 @@ def synthetic_media(spark: SparkSession, n: int = 64, partitions: int = 4) -> Da
         h = 48 + (i % 8) * 16
         dur = 1000 * (1 + i % 30)
         if kind == "image":
-            mime, payload = "image/x-portable-pixmap", make_ppm(w, h, seed=i)
+            if (i // 3) % 2 == 0:
+                mime, payload = "image/x-portable-pixmap", make_ppm(w, h, seed=i)
+            else:
+                mime, payload = "image/png", make_png(w, h, seed=i)
         elif kind == "audio":
             mime, payload = "audio/wav", make_wav(min(dur, 3000), 200.0 + 10 * i, seed=i)
         else:
@@ -169,9 +321,9 @@ def _fake_decode_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def _image_features(data: bytes) -> list[float]:
-    """Real pixel features from a decoded PPM: per-channel means, gray
-    std, brightness extremes, geometry."""
-    w, h, arr = decode_ppm(data)
+    """Real pixel features from a decoded PPM or PNG: per-channel
+    means, gray std, brightness extremes, geometry."""
+    w, h, arr = decode_png(data) if data.startswith(PNG_SIG) else decode_ppm(data)
     f = arr.astype(np.float32) / 255.0
     gray = f.mean(axis=-1)
     return [
@@ -198,9 +350,9 @@ def _audio_features(data: bytes) -> list[float]:
 def extract_features(media: DataFrame, strict: bool = False, dim: int = 8) -> DataFrame:
     """Batch feature extraction over the binary payload column.
 
-    mapInPandas: whole Arrow batches cross the boundary once.  PPM
-    images and PCM WAV audio decode for real (numpy/stdlib); payloads
-    needing absent codec libraries (mp4, jpeg, png) raise
+    mapInPandas: whole Arrow batches cross the boundary once.  PPM and
+    PNG images and PCM WAV audio decode for real (numpy/stdlib);
+    payloads needing absent codec libraries (mp4, jpeg) raise
     NotImplementedError in strict mode or take the deterministic fake.
     """
 
@@ -209,7 +361,11 @@ def extract_features(media: DataFrame, strict: bool = False, dim: int = 8) -> Da
             feats, oks = [], []
             for mime, p in zip(pdf["mime"], pdf["payload"]):
                 data = bytes(p)
-                if mime == "image/x-portable-pixmap" or data.startswith(b"P6"):
+                if (
+                    mime in ("image/x-portable-pixmap", "image/png")
+                    or data.startswith(b"P6")
+                    or data.startswith(PNG_SIG)
+                ):
                     feats.append(_image_features(data))
                     oks.append(True)
                 elif mime == "audio/wav" and data.startswith(b"RIFF"):

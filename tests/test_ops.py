@@ -325,3 +325,61 @@ def test_ivf_topk_recall(embeddings):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
     # the query vector itself must be found
     assert approx[0] == 3
+
+
+def test_png_roundtrip_all_filters():
+    """VERDICT r2 item 4: real PNG decode (zlib inflate + all five
+    per-row filters) — the encoder cycles filter types per row, so a
+    correct decoder must reconstruct None/Sub/Up/Average/Paeth."""
+    import numpy as np
+
+    from de_spark.ops.multimodal import _gradient, decode_png, make_png
+
+    for w, h, seed in [(64, 48, 0), (17, 23, 5), (1, 1, 3)]:
+        W, H, arr = decode_png(make_png(w, h, seed))
+        assert (W, H) == (w, h)
+        assert np.array_equal(arr, _gradient(w, h, seed))
+
+
+def test_png_gray_and_rgba_normalize_to_rgb():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from de_spark.ops.multimodal import PNG_SIG, _png_chunk, decode_png
+
+    def png_of(arr, color):
+        h, w = arr.shape[:2]
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    _, _, arr = decode_png(png_of(g, 0))
+    assert arr.shape == (3, 4, 3) and np.array_equal(arr[..., 0], g)
+    rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+    _, _, arr = decode_png(png_of(rgba, 6))
+    assert np.array_equal(arr, rgba[..., :3])
+
+
+def test_multimodal_png_features_reflect_content(spark):
+    """PNG payloads take the REAL decode path in strict mode (no fake
+    fallback) and produce the same features as the equivalent PPM."""
+    from de_spark.ops.multimodal import MEDIA_SCHEMA, make_png, make_ppm
+
+    rows = [
+        (1, "image", "image/png", bytearray(make_png(32, 20, seed=4)), 32, 20, None),
+        (2, "image", "image/x-portable-pixmap", bytearray(make_ppm(32, 20, seed=4)), 32, 20, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(media, strict=True).collect()
+    }
+    assert feats[1] == feats[2]  # identical pixels → identical features
