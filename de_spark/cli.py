@@ -90,6 +90,10 @@ def cmd_query(args) -> int:
                 "trig": render_trig_lines,
                 "ttl": render_turtle_lines,
                 "turtle": render_turtle_lines,
+                # N3 is a superset of Turtle: the Turtle-lines rendering
+                # is a valid N3 document (completes the reference's six
+                # graph formats, src/query.rs:155-175)
+                "n3": render_turtle_lines,
             }
             if args.output in ("nq", "trig"):
                 g = g.withColumn("graph", F.lit("file:///constructed"))
@@ -98,7 +102,7 @@ def cmd_query(args) -> int:
                 print(r["line"])
             continue
         parsed = parse_sparql(q)
-        graph_formats = {"nt", "nq", "ttl", "turtle", "trig", "rdfxml"}
+        graph_formats = {"nt", "nq", "ttl", "turtle", "n3", "trig", "rdfxml"}
         if args.output in graph_formats:
             # graph serializations only make sense for CONSTRUCT/DESCRIBE
             # (mirror of the reference's per-variant format routing,
@@ -156,6 +160,28 @@ def cmd_load(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """SPARQL UPDATE string surface (reference src/serve.rs:783-1121):
+    CREATE / INSERT DATA into new graphs / LOAD INTO GRAPH /
+    CLEAR|DROP GRAPH, with DELETE forms refused (read-only triples)."""
+    from de_spark import store
+    from de_spark.query.update import UpdateRefusedError
+
+    spark = get_spark("de_update")
+    if args.update:
+        text = args.update
+    else:
+        with open(args.file) as f:
+            text = f.read()
+    try:
+        for line in store.execute_update(spark, args.data, text):
+            print(line, file=sys.stderr)
+    except (UpdateRefusedError, store.GraphExistsError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def cmd_view(args) -> int:
     spark = get_spark("de_view")
     stats = spark.read.parquet(f"{args.data}/stats")
@@ -185,7 +211,7 @@ def main(argv=None) -> int:
         "-o",
         "--output",
         default="csv",
-        choices=["csv", "tsv", "json", "xml", "nt", "nq", "ttl", "turtle", "trig", "rdfxml"],
+        choices=["csv", "tsv", "json", "xml", "nt", "nq", "ttl", "turtle", "n3", "trig", "rdfxml"],
         help="solution format for SELECT/ASK; graph format for CONSTRUCT/DESCRIBE",
     )
     q.set_defaults(fn=cmd_query)
@@ -193,6 +219,12 @@ def main(argv=None) -> int:
     v = sub.add_parser("view", help="print VOID stats of a store")
     v.add_argument("-d", "--data", required=True)
     v.set_defaults(fn=cmd_view)
+
+    up = sub.add_parser("update", help="run a SPARQL UPDATE string against a store")
+    up.add_argument("-d", "--data", required=True, help="store directory")
+    up.add_argument("-u", "--update", default=None, help="inline update string")
+    up.add_argument("-f", "--file", default=None, help="update file (.ru)")
+    up.set_defaults(fn=cmd_update)
 
     ld = sub.add_parser("load", help="LOAD RDF files into a store as new named graphs")
     ld.add_argument("-d", "--data", required=True, help="store directory")

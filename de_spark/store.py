@@ -232,3 +232,93 @@ def sync_dir(spark: SparkSession, base_dir: str, rdf_dir: str) -> tuple[list[str
 def load(spark: SparkSession, base_dir: str) -> KnowledgeGraph:
     _recover_pending(base_dir)
     return KnowledgeGraph.load(spark, base_dir)
+
+
+def execute_update(spark: SparkSession, base_dir: str, update_text: str) -> list[str]:
+    """Run a SPARQL UPDATE string against a materialized store with the
+    reference's two-phase validate-then-execute discipline
+    (src/serve.rs:783-1121): EVERY operation is validated against the
+    current graph set before ANY executes, so a refused op leaves the
+    store untouched.  Returns a log line per executed operation.
+
+    Allowed: CREATE (no-op), INSERT DATA into new named graphs, LOAD
+    into a new named graph, CLEAR/DROP of an existing named graph.
+    Refused (UpdateRefusedError): DELETE DATA, DELETE/INSERT, inserts
+    into existing graphs or the default graph, DEFAULT/NAMED/ALL graph
+    targets — the parse layer raises for the statically-refused forms.
+    """
+    from de_spark import terms
+    from de_spark.query.update import UpdateRefusedError, parse_update
+
+    ops = parse_update(update_text)
+    _recover_pending(base_dir)
+    registered = _graphs(spark, base_dir)
+
+    # phase 1: validate all operations against the CURRENT snapshot,
+    # tracking the graph-set effects so multi-op updates validate in
+    # sequence (INSERT then DROP of the same graph is legal)
+    pending = set(registered)
+    for op in ops:
+        if op.kind == "create":
+            if op.graph in pending and not op.silent:
+                raise UpdateRefusedError(f"Graph {op.graph} already exists.")
+        elif op.kind == "insert_data":
+            if None in op.quads:
+                raise UpdateRefusedError(
+                    "INSERT DATA to default graph is not allowed. "
+                    "Only named graphs are supported."
+                )
+            for g in op.quads:
+                if g in pending:
+                    raise UpdateRefusedError(
+                        f"Graph {g} already exists. "
+                        "INSERT DATA is only allowed to new graphs."
+                    )
+            pending |= set(op.quads)
+        elif op.kind == "load":
+            if op.graph in pending and not op.silent:
+                raise UpdateRefusedError(
+                    f"Graph {op.graph} already exists. "
+                    "LOAD is only allowed to new graphs."
+                )
+            pending.add(op.graph)
+        elif op.kind in ("clear", "drop"):
+            if op.graph not in pending and not op.silent:
+                raise UpdateRefusedError(f"Graph {op.graph} does not exist.")
+            pending.discard(op.graph)
+
+    # phase 2: execute
+    log: list[str] = []
+    for op in ops:
+        if op.kind == "create":
+            log.append(f"CREATE GRAPH {op.graph} - will be created on first INSERT")
+        elif op.kind == "insert_data":
+            rows = [
+                (t.s, t.p, t.o, terms.classify_py(t.o), g)
+                for g, triples in sorted(op.quads.items())
+                for t in triples
+            ]
+            raw = spark.createDataFrame(rows, ["s", "p", "o", "o_kind", "graph"])
+            add_graph(spark, base_dir, raw)
+            log.append(
+                f"INSERT DATA: {len(rows)} triples into {len(op.quads)} new graph(s)"
+            )
+        elif op.kind == "load":
+            from pyspark.sql import functions as F  # noqa: F811
+
+            from de_spark.sources.router import read_rdf
+
+            path = op.source
+            if path.startswith("file://"):
+                path = path[len("file://"):]
+            raw, unhandled, _ = read_rdf(spark, [path])
+            if unhandled:
+                raise ValueError(f"LOAD source has an unhandled format: {op.source}")
+            add_graph(spark, base_dir, raw.withColumn("graph", F.lit(op.graph)))
+            log.append(f"LOAD {op.source} INTO GRAPH {op.graph}")
+        elif op.kind in ("clear", "drop"):
+            if drop_graph(spark, base_dir, op.graph):
+                log.append(f"{op.kind.upper()} GRAPH {op.graph}")
+            else:
+                log.append(f"{op.kind.upper()} GRAPH {op.graph} (absent, SILENT)")
+    return log

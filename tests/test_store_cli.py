@@ -176,3 +176,118 @@ def test_torn_add_recovers_without_duplicates(spark, tmp_path):
     }
     assert post_counts["stats"] == pre_counts["stats"]
     assert post_counts["triples"] == pre_counts["triples"]
+
+
+def test_sparql_update_surface(spark, tmp_path):
+    """SPARQL UPDATE strings with the reference's refusal semantics
+    (src/serve.rs:783-1121; HTTP tests tests/test-server.rs:203-237):
+    INSERT DATA only into NEW graphs, DELETE forms forbidden,
+    CLEAR/DROP named graphs, two-phase validation (a refused op leaves
+    the store untouched)."""
+    from de_spark.query.update import UpdateRefusedError
+
+    base = str(tmp_path / "store")
+    build(triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt"), base)
+
+    # INSERT DATA into a new named graph (prefixed names + typed literal)
+    log = store.execute_update(
+        spark,
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        INSERT DATA {
+          GRAPH <file:///cherry.hdt> {
+            ex:Cherry a ex:Fruit ; ex:hasColor "red" ; ex:count 3 .
+          }
+        }
+        """,
+    )
+    assert any("INSERT DATA: 3 triples" in l for l in log)
+    kg = store.load(spark, base)
+    got = {
+        r["f"].rsplit("/", 1)[1]
+        for r in sparql_select(
+            kg, "SELECT ?f WHERE { ?f a <http://example.org/Fruit> }"
+        ).collect()
+    }
+    assert got == {"Banana", "Cherry"}
+
+    # inserting into the (now existing) graph is refused
+    with pytest.raises(UpdateRefusedError, match="already exists"):
+        store.execute_update(
+            spark,
+            base,
+            'INSERT DATA { GRAPH <file:///cherry.hdt> { <http://x/a> <http://x/p> "v" } }',
+        )
+    # default-graph insert is refused
+    with pytest.raises(UpdateRefusedError, match="default graph"):
+        store.execute_update(
+            spark, base, 'INSERT DATA { <http://x/a> <http://x/p> "v" }'
+        )
+    # DELETE forms are refused at parse time (read-only, test-server.rs:203)
+    with pytest.raises(UpdateRefusedError, match="DELETE DATA is not allowed"):
+        store.execute_update(
+            spark, base,
+            'DELETE DATA { GRAPH <file:///cherry.hdt> { <http://x/a> <http://x/p> "v" } }',
+        )
+    with pytest.raises(UpdateRefusedError, match="DELETE/INSERT"):
+        store.execute_update(
+            spark, base, "DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }"
+        )
+    # CREATE: error when the graph exists, fine (no-op) when new
+    with pytest.raises(UpdateRefusedError, match="already exists"):
+        store.execute_update(spark, base, "CREATE GRAPH <file:///cherry.hdt>")
+    assert store.execute_update(spark, base, "CREATE SILENT GRAPH <file:///cherry.hdt>")
+    assert store.execute_update(spark, base, "CREATE GRAPH <file:///new.hdt>")
+
+    # DROP ALL / CLEAR DEFAULT targets are refused
+    with pytest.raises(UpdateRefusedError, match="DROP ALL is not supported"):
+        store.execute_update(spark, base, "DROP ALL")
+    with pytest.raises(UpdateRefusedError, match="CLEAR DEFAULT is not supported"):
+        store.execute_update(spark, base, "CLEAR DEFAULT")
+
+    # two-phase validation: the failing second op prevents the first
+    with pytest.raises(UpdateRefusedError, match="does not exist"):
+        store.execute_update(
+            spark,
+            base,
+            'INSERT DATA { GRAPH <file:///plum.hdt> { <http://x/a> <http://x/p> "v" } } ;\n'
+            "DROP GRAPH <file:///nope.hdt>",
+        )
+    assert "file:///plum.hdt" not in store._graphs(spark, base)
+
+    # DROP removes the graph; dropping again errors unless SILENT
+    store.execute_update(spark, base, "DROP GRAPH <file:///cherry.hdt>")
+    assert "file:///cherry.hdt" not in store._graphs(spark, base)
+    with pytest.raises(UpdateRefusedError, match="does not exist"):
+        store.execute_update(spark, base, "DROP GRAPH <file:///cherry.hdt>")
+    assert store.execute_update(spark, base, "DROP SILENT GRAPH <file:///cherry.hdt>")
+
+
+def test_sparql_update_load(spark, tmp_path):
+    """LOAD <file> INTO GRAPH <g>: executes via the format router into
+    a NEW named graph (the reference validates LOAD but leaves it
+    unimplemented, src/serve.rs:1045-1061)."""
+    import os
+
+    base = str(tmp_path / "store")
+    build(triples_from_nt_text(spark, BANANA_NT, "file:///banana.hdt"), base)
+    src = tmp_path / "pineapple.ttl"
+    src.write_text(PINEAPPLE_TTL)
+
+    # bare LOAD (no INTO GRAPH) is refused
+    from de_spark.query.update import UpdateRefusedError
+
+    with pytest.raises(UpdateRefusedError, match="default graph"):
+        store.execute_update(spark, base, f"LOAD <file://{src}>")
+
+    log = store.execute_update(
+        spark, base, f"LOAD <file://{src}> INTO GRAPH <file:///pine.hdt>"
+    )
+    assert any("LOAD" in l for l in log)
+    kg = store.load(spark, base)
+    rows = sparql_select(
+        kg,
+        'SELECT ?f WHERE { GRAPH <file:///pine.hdt> { ?f <http://example.org/hasColor> "yellow" } }',
+    ).collect()
+    assert [r["f"].rsplit("/", 1)[1] for r in rows] == ["Pineapple"]
