@@ -98,9 +98,16 @@ class KnowledgeGraph:
         """Replace uid columns by their term strings (emission time only,
         mirroring src/sparql.rs:491-497).  Already-string columns (a
         GRAPH ?g binding — graph names are not dictionary terms) pass
-        through untouched."""
+        through untouched, as are bigint columns tagged with the
+        ``de_spark_value`` column metadata (subquery aggregate results
+        — plain numbers, not uids)."""
         dtypes = dict(solutions.dtypes)
-        decode = [v for v in var_cols if dtypes.get(v) == "bigint"]
+        decode = [
+            v
+            for v in var_cols
+            if dtypes.get(v) == "bigint"
+            and not (solutions.schema[v].metadata or {}).get("de_spark_value")
+        ]
         out = solutions
         for v in decode:
             uid_map = self.term_uids.select(

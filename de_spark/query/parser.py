@@ -17,6 +17,7 @@ tokenizer + recursive-descent grammar so composition nests correctly:
 - property paths in the predicate position: ``/ | ^ + * ?`` with parens
 - all four query forms: SELECT (vars, aggregates, expr-AS), ASK,
   CONSTRUCT { template }, DESCRIBE targets [WHERE]
+- subqueries: ``{ SELECT … }`` as a group element (SPARQL 1.1 §12)
 - solution modifiers: GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET
 
 Translation to algebra follows the SPARQL 1.1 spec (§18.2): elements
@@ -29,8 +30,7 @@ whole conjunction; OPTIONAL/MINUS/BIND are sequence points and flush.
 
 Unsupported constructs raise ``ValueError`` loudly (never a silent
 wrong answer): blank-node property lists / collections in patterns,
-subqueries, negated property sets, service, expressions in
-GROUP BY / ORDER BY.
+negated property sets, SERVICE, expressions in GROUP BY / ORDER BY.
 """
 
 from __future__ import annotations
@@ -195,6 +195,14 @@ class GraphScopeNode:
 class ValuesNode:
     vars: list
     rows: list  # rows of constant term strings
+
+
+@dataclass
+class SubQueryNode:
+    """``{ SELECT … }`` — evaluated bottom-up, projected, then joined
+    with the enclosing group (SPARQL 1.1 §12)."""
+
+    query: object  # ParsedQuery
 
 
 @dataclass
@@ -702,8 +710,15 @@ class Parser:
     # -- group graph pattern -------------------------------------------------
 
     def parse_group(self):
-        """``{ … }`` → algebra node (SPARQL 1.1 §18.2 translation)."""
+        """``{ … }`` → algebra node (SPARQL 1.1 §18.2 translation).
+        A group whose body starts with SELECT is a SubSelect — it
+        occupies the whole group (grammar: GroupGraphPattern ::=
+        '{' (SubSelect | GroupGraphPatternSub) '}')."""
         self.expect_op("{")
+        if self.at_word("SELECT"):
+            sub = self._select_query()
+            self.expect_op("}")
+            return SubQueryNode(sub)
         acc = None
         pending: list[TriplePattern] = []
         filters: list = []
@@ -766,8 +781,6 @@ class Parser:
                 else:
                     raise ValueError("GRAPH requires a variable or IRI")
                 acc = join(acc, GraphScopeNode(gterm, self.parse_group()))
-            elif self.at_word("SELECT"):
-                raise ValueError("subqueries are unsupported")
             elif self.at_word("SERVICE"):
                 raise ValueError("SERVICE is unsupported")
             elif self.at_op("{"):
@@ -943,7 +956,8 @@ class Parser:
         self._modifiers(q)
 
     def _modifiers(self, q: ParsedQuery) -> None:
-        while self.peek().kind != "EOF":
+        # a subquery's modifiers stop at the enclosing group's '}'
+        while self.peek().kind != "EOF" and not self.at_op("}"):
             if self.at_word("GROUP"):
                 self.next()
                 self.expect_word("BY")

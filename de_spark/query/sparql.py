@@ -62,6 +62,7 @@ from de_spark.query.parser import (
     MinusNode,
     NumE,
     ParsedQuery,
+    SubQueryNode,
     TermE,
     Un,
     UnionNode,
@@ -376,6 +377,12 @@ def _coerce_shared(kg: KnowledgeGraph, l: DataFrame, r: DataFrame):
     return l, r, shared
 
 
+def _is_value_col(df: DataFrame, v: str) -> bool:
+    """True for bigint columns tagged as plain values (subquery
+    aggregate aliases), which must never decode through term_uids."""
+    return bool((df.schema[v].metadata or {}).get("de_spark_value"))
+
+
 def _with_term_strs(kg: KnowledgeGraph, df: DataFrame, vars_: list[str]):
     """Attach ``__s_<var>`` term-string columns for the uid-typed vars
     (on-the-fly decode for a multi-var FILTER / BIND), returning
@@ -386,7 +393,9 @@ def _with_term_strs(kg: KnowledgeGraph, df: DataFrame, vars_: list[str]):
     for v in vars_:
         if v not in df.columns:
             raise ValueError(f"variable ?{v} is not bound in this scope")
-        if dtypes[v] == "bigint":
+        if dtypes[v] == "bigint" and _is_value_col(df, v):
+            env[v] = (F.col(v), "num")
+        elif dtypes[v] == "bigint":
             tmp = f"__s_{v}"
             uid_map = kg.term_uids.select(
                 F.col("uid").alias(v), F.col("term").alias(tmp)
@@ -413,6 +422,8 @@ def _push_filter_uid(kg: KnowledgeGraph, sols: DataFrame, e) -> DataFrame | None
     v = vs.pop()
     if v not in sols.columns or dict(sols.dtypes).get(v) != "bigint":
         return None
+    if _is_value_col(sols, v):
+        return None  # plain numeric column, not a uid — filter in place
     # BOUND is a null test on the binding itself — term_uids rows are
     # never null, so it must not be pushed to the vocabulary
     if expr_has(e, lambda x: isinstance(x, Call) and x.name == "BOUND"):
@@ -600,6 +611,26 @@ def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
 
     if isinstance(node, ValuesNode):
         return _values_df(kg, node)
+
+    if isinstance(node, SubQueryNode):
+        # subqueries evaluate bottom-up with their own projection and
+        # modifiers (SPARQL 1.1 §12); the result carries decoded term
+        # strings (and numeric aggregate aliases), so a shared variable
+        # joining an outer uid column decodes the outer side via
+        # _coerce_shared
+        if graph is not None:
+            raise ValueError("subqueries inside GRAPH blocks are unsupported")
+        df = execute(kg, node.query)
+        # tag numeric result columns (aggregate aliases) so the outer
+        # decode pass does not mistake them for term uids
+        return df.select(
+            *[
+                F.col(c).alias(c, metadata={"de_spark_value": True})
+                if t == "bigint"
+                else F.col(c)
+                for c, t in df.dtypes
+            ]
+        )
 
     raise ValueError(f"unsupported algebra node: {type(node).__name__}")
 

@@ -233,14 +233,63 @@ def test_multiple_values_clauses(fruit_kg):
     assert names(sparql_select(fruit_kg, q)) == ["Banana", "Pineapple"]
 
 
+def test_subquery_aggregate_join(fruit_kg):
+    """SPARQL 1.1 §12 subqueries: evaluated bottom-up, projected, then
+    joined with the enclosing group (the round-2 parser rejected
+    these)."""
+    q = EX + """
+    SELECT ?f ?n WHERE {
+      ?f a ex:Fruit .
+      { SELECT ?f (COUNT(?p) AS ?n) WHERE { ?f ?p ?o } GROUP BY ?f }
+    } ORDER BY ?f
+    """
+    rows = [(r["f"].rsplit("/", 1)[1], r["n"]) for r in sparql_select(fruit_kg, q).collect()]
+    assert rows == [("Banana", 10), ("Pineapple", 10)]
+
+    # an outer FILTER over the subquery's aggregate alias treats it as
+    # a plain number (not a term uid — pinned by the de_spark_value
+    # column-metadata tag)
+    q2 = EX + """
+    SELECT ?f ?n WHERE {
+      ?f a ex:Fruit .
+      { SELECT ?f (COUNT(?p) AS ?n) WHERE { ?f ?p ?o } GROUP BY ?f }
+      FILTER(?n > 5)
+    } ORDER BY ?f
+    """
+    assert names(sparql_select(fruit_kg, q2)) == ["Banana", "Pineapple"]
+    q3 = q2.replace("?n > 5", "?n > 99")
+    assert names(sparql_select(fruit_kg, q3)) == []
+
+
+def test_subquery_limit_scopes_inside(fruit_kg):
+    """A LIMIT inside the subquery applies before the outer join."""
+    q = EX + """
+    SELECT ?f ?t WHERE {
+      ?f ex:hasTaste ?t .
+      { SELECT ?f WHERE { ?f a ex:Fruit } ORDER BY ?f LIMIT 1 }
+    }
+    """
+    rows = [(r["f"].rsplit("/", 1)[1], r["t"]) for r in sparql_select(fruit_kg, q).collect()]
+    assert rows == [("Banana", '"sweet"')]
+
+
+def test_subquery_as_union_branch(fruit_kg):
+    q = EX + """
+    SELECT ?f WHERE {
+      { SELECT ?f WHERE { ?f ex:hasShape "curved" } }
+      UNION
+      { ?f ex:hasShape "oblong" }
+    } ORDER BY ?f
+    """
+    assert names(sparql_select(fruit_kg, q)) == ["Banana", "Pineapple"]
+
+
 # ---------------------------------------------------------------------------
 # loud rejections for the still-unsupported shapes
 # ---------------------------------------------------------------------------
 
 
 def test_loud_rejections():
-    with pytest.raises(ValueError, match="subquer"):
-        parse_sparql("SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }")
     with pytest.raises(ValueError, match="blank-node property lists"):
         parse_sparql("SELECT ?s WHERE { ?s <http://x/p> [ <http://x/q> 1 ] }")
     with pytest.raises(ValueError, match="negated property sets"):
