@@ -28,9 +28,10 @@ the whole group.  Adjacent triple blocks separated only by
 one BGP so the executor's selectivity-based join ordering sees the
 whole conjunction; OPTIONAL/MINUS/BIND are sequence points and flush.
 
-Unsupported constructs raise ``ValueError`` loudly (never a silent
-wrong answer): blank-node property lists / collections in patterns,
-negated property sets, SERVICE, expressions in GROUP BY / ORDER BY.
+Blank-node property lists ``[ … ]`` in patterns compile to fresh
+non-projected variables.  Unsupported constructs raise ``ValueError``
+loudly (never a silent wrong answer): collections in patterns, negated
+property sets, SERVICE, expressions in GROUP BY / ORDER BY.
 """
 
 from __future__ import annotations
@@ -416,9 +417,9 @@ class Parser:
                 self.next()
                 return f'"{w}"^^<{XSD}boolean>'
         if t.kind == "OP" and t.value == "[":
-            raise ValueError(
-                "blank-node property lists in query patterns are unsupported"
-            )
+            raise ValueError("a blank-node property list is not allowed here")
+        if t.kind == "OP" and t.value == "(":
+            raise ValueError("collections in query patterns are unsupported")
         raise ValueError(f"cannot parse term at position {t.pos}: {t.value!r}")
 
     @staticmethod
@@ -508,24 +509,54 @@ class Parser:
             return True  # parse_term raises the loud unsupported error
         return False
 
-    def parse_triples(self, sink: list) -> None:
-        """One subject with its predicate-object list(s); appends
-        TriplePatterns to ``sink``.  Caller loops over subjects."""
-        s = self.parse_term("subject")
+    _bnpl_counter: int = 0
+
+    def _fresh_bnpl_var(self) -> str:
+        self._bnpl_counter += 1
+        return f"?__bnpl{self._bnpl_counter}"
+
+    def _parse_bnpl(self, sink: list) -> str:
+        """``[ p o ; … ]`` in a pattern = a fresh non-projected variable
+        with the bracketed predicate-object list as extra patterns
+        (SPARQL 1.1 blank nodes in queries scope as variables)."""
+        self.expect_op("[")
+        v = self._fresh_bnpl_var()
+        if not self.at_op("]"):
+            self._pred_obj_list(v, sink)
+        self.expect_op("]")
+        return v
+
+    def _pred_obj_list(self, s: str, sink: list) -> None:
         while True:
             p = self._parse_verb()
             while True:
-                o = self.parse_term("object")
+                o = (
+                    self._parse_bnpl(sink)
+                    if self.at_op("[")
+                    else self.parse_term("object")
+                )
                 sink.append(TriplePattern(s, p, o))
                 if self.eat_op(","):
                     continue
                 break
             if self.eat_op(";"):
-                # allow trailing ';' before '.' or '}'
-                if self.at_op(".", "}") or self.peek().kind == "EOF":
+                # allow trailing ';' before '.' or '}' / ']'
+                if self.at_op(".", "}", "]") or self.peek().kind == "EOF":
                     break
                 continue
             break
+
+    def parse_triples(self, sink: list) -> None:
+        """One subject with its predicate-object list(s); appends
+        TriplePatterns to ``sink``.  Caller loops over subjects."""
+        if self.at_op("["):
+            s = self._parse_bnpl(sink)
+            # '[ … ] .' — the property list may BE the whole statement
+            if self.at_op(".", "}") or self.peek().kind == "EOF":
+                return
+        else:
+            s = self.parse_term("subject")
+        self._pred_obj_list(s, sink)
 
     # -- VALUES --------------------------------------------------------------
 

@@ -707,7 +707,9 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery) -> DataFrame:
         if q.variables or q.select_exprs:
             proj = q.variables + [alias for alias, _ in q.select_exprs]
         else:
-            proj = var_cols
+            # SELECT *: blank-node property lists compile to internal
+            # __bnpl variables — not in-scope names, never projected
+            proj = [c for c in var_cols if not c.startswith("__bnpl")] or var_cols
         decoded = decoded.select(*proj)
 
     if q.distinct:

@@ -289,9 +289,26 @@ def test_subquery_as_union_branch(fruit_kg):
 # ---------------------------------------------------------------------------
 
 
+def test_bnpl_in_query_patterns(fruit_kg):
+    """`[ p o ]` in a pattern = fresh non-projected variable (SPARQL
+    1.1 query bnodes scope as variables); round 2 rejected these."""
+    q = EX + """
+    SELECT ?f WHERE {
+      ?c ex:hasColor "yellow" .
+      ?f ex:growsIn [ a ex:Fruit ]
+    }
+    """
+    # no fruit grows in something typed Fruit → empty, but parses+runs
+    assert sparql_select(fruit_kg, q).count() == 0
+    q2 = EX + "SELECT ?f WHERE { ?f ex:hasVitamin [] } ORDER BY ?f"
+    assert names(sparql_select(fruit_kg, q2)) == ["Banana", "Pineapple"]
+    # SELECT * never leaks the internal __bnpl binding
+    q3 = EX + 'SELECT * WHERE { ?f ex:hasVitamin [] . ?f ex:hasShape "curved" }'
+    df = sparql_select(fruit_kg, q3)
+    assert df.columns == ["f"]
+
+
 def test_loud_rejections():
-    with pytest.raises(ValueError, match="blank-node property lists"):
-        parse_sparql("SELECT ?s WHERE { ?s <http://x/p> [ <http://x/q> 1 ] }")
     with pytest.raises(ValueError, match="negated property sets"):
         parse_sparql("SELECT ?s WHERE { ?s !<http://x/p> ?o }")
     with pytest.raises(ValueError, match="UNDEF"):
