@@ -35,7 +35,8 @@ class TriplePattern:
     constant term string.  The predicate may also be a PROPERTY PATH,
     encoded as ``path:<expr>`` with IRIs in angle brackets and the
     operators ``/`` (sequence), ``|`` (alternative), ``^`` (inverse),
-    ``+`` (one-or-more), ``*`` (zero-or-more), ``?`` (zero-or-one) —
+    ``+`` (one-or-more), ``*`` (zero-or-more), ``?`` (zero-or-one) and
+    negated property sets ``!(<a>|<b>)`` —
     e.g. ``path:<http://a>/^<http://b>+``.  The reference gets full
     SPARQL 1.1 paths from spareval (src/sparql.rs:520); zero-length
     matches pair every graph term (subject or object occurrence) with
@@ -163,7 +164,19 @@ def _path_pairs(kg: KnowledgeGraph, expr: str, graph: str | None = None) -> Data
     if expr.endswith(("+", "*", "?")):
         suffix = expr[-1]
         expr = expr[:-1].strip()
-    if expr.startswith("(") and expr.endswith(")"):
+    if expr.startswith("!"):
+        # negated property set: all triples whose predicate is NOT in
+        # the set — an anti join of the (graph-pruned) fact table
+        # against the tiny excluded-uid list (SPARQL 1.1 PathNegatedPropertySet)
+        iris = re.findall(r"<([^>]*)>", expr)
+        t = kg.triples if graph is None else kg.triples.where(F.col("graph") == graph)
+        excluded = kg.term_uids.where(F.col("term").isin(iris)).select(
+            F.col("uid").alias("p_id")
+        )
+        pairs = t.join(F.broadcast(excluded), "p_id", "left_anti").select(
+            F.col("s_id").alias("a"), F.col("o_id").alias("b")
+        )
+    elif expr.startswith("(") and expr.endswith(")"):
         pairs = _path_pairs(kg, expr[1:-1], graph)
     else:
         m = _PATH_ATOM.fullmatch(expr)

@@ -14,7 +14,8 @@ tokenizer + recursive-descent grammar so composition nests correctly:
   STRSTARTS/STRENDS/CONTAINS, STRLEN, SUBSTR, UCASE/LCASE,
   STRBEFORE/STRAFTER, CONCAT, REPLACE, ABS/CEIL/FLOOR/ROUND,
   IF, COALESCE)
-- property paths in the predicate position: ``/ | ^ + * ?`` with parens
+- property paths in the predicate position: ``/ | ^ + * ?`` with
+  parens and negated property sets ``!iri`` / ``!(iri|…)``
 - all four query forms: SELECT (vars, aggregates, expr-AS), ASK,
   CONSTRUCT { template }, DESCRIBE targets [WHERE]
 - subqueries: ``{ SELECT … }`` as a group element (SPARQL 1.1 §12)
@@ -30,8 +31,9 @@ whole conjunction; OPTIONAL/MINUS/BIND are sequence points and flush.
 
 Blank-node property lists ``[ … ]`` in patterns compile to fresh
 non-projected variables.  Unsupported constructs raise ``ValueError``
-loudly (never a silent wrong answer): collections in patterns, negated
-property sets, SERVICE, expressions in GROUP BY / ORDER BY.
+loudly (never a silent wrong answer): collections in patterns, inverse
+members in negated property sets, SERVICE, expressions in
+GROUP BY / ORDER BY.
 """
 
 from __future__ import annotations
@@ -474,7 +476,21 @@ class Parser:
             self.next()
             rendered, compound = f"<{RDF_TYPE}>", False
         elif self.at_op("!"):
-            raise ValueError("negated property sets are unsupported")
+            # negated property set: !iri or !(iri|iri|…) — forward
+            # members only (inverse members ^iri are rejected loudly)
+            self.next()
+            items = []
+            if self.at_op("("):
+                self.next()
+                while True:
+                    items.append(self._nps_member())
+                    if self.eat_op("|"):
+                        continue
+                    break
+                self.expect_op(")")
+            else:
+                items.append(self._nps_member())
+            rendered, compound = "!(" + "|".join(items) + ")", True
         else:
             raise ValueError(f"cannot parse path at position {t.pos}: {t.value!r}")
         # closure/optional suffix — '?' only when not starting a variable
@@ -489,6 +505,23 @@ class Parser:
             rendered = "^" + rendered
             compound = True
         return rendered, compound
+
+    def _nps_member(self) -> str:
+        t = self.peek()
+        if self.at_op("^"):
+            raise ValueError(
+                "inverse members in negated property sets are unsupported"
+            )
+        if t.kind == "IRI":
+            self.next()
+            return t.value
+        if t.kind == "PNAME":
+            self.next()
+            return f"<{self._resolve_pname(t.value)}>"
+        if t.kind == "WORD" and t.value == "a":
+            self.next()
+            return f"<{RDF_TYPE}>"
+        raise ValueError(f"bad negated-property-set member at position {t.pos}")
 
     def _parse_verb(self) -> str:
         if self.peek().kind == "VAR":

@@ -308,9 +308,21 @@ def test_bnpl_in_query_patterns(fruit_kg):
     assert df.columns == ["f"]
 
 
+def test_negated_property_set(fruit_kg):
+    """!(p|q) matches triples whose predicate is NOT in the set
+    (SPARQL 1.1 PathNegatedPropertySet, anti join on the tiny
+    excluded-uid list)."""
+    q = EX + "SELECT ?s ?o WHERE { ?s !(a|ex:hasColor) ?o }"
+    # fruit_kg: 24 triples − 4 rdf:type − 2 hasColor = 18
+    assert sparql_select(fruit_kg, q).count() == 18
+    q2 = EX + "SELECT ?o WHERE { ?s !a ?o . ?s ex:hasShape ?o }"
+    rows = sorted(r["o"] for r in sparql_select(fruit_kg, q2).collect())
+    assert rows == ['"curved"', '"oblong"']
+    with pytest.raises(ValueError, match="inverse members"):
+        parse_sparql("SELECT ?s WHERE { ?s !(^<http://x/p>) ?o }")
+
+
 def test_loud_rejections():
-    with pytest.raises(ValueError, match="negated property sets"):
-        parse_sparql("SELECT ?s WHERE { ?s !<http://x/p> ?o }")
     with pytest.raises(ValueError, match="UNDEF"):
         parse_sparql("SELECT ?f WHERE { ?f ?p ?o . VALUES ?f { UNDEF } }")
     with pytest.raises(ValueError, match="undefined prefix"):
