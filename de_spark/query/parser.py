@@ -29,11 +29,12 @@ the whole group.  Adjacent triple blocks separated only by
 one BGP so the executor's selectivity-based join ordering sees the
 whole conjunction; OPTIONAL/MINUS/BIND are sequence points and flush.
 
-Blank-node property lists ``[ … ]`` in patterns compile to fresh
-non-projected variables.  Unsupported constructs raise ``ValueError``
-loudly (never a silent wrong answer): collections in patterns, inverse
-members in negated property sets, SERVICE, expressions in
-GROUP BY / ORDER BY.
+Blank-node property lists ``[ … ]`` and collections ``( … )`` in
+patterns compile to fresh non-projected variables (collections expand
+to rdf:first/rdf:rest pattern chains).  Unsupported constructs raise
+``ValueError`` loudly (never a silent wrong answer): inverse members
+in negated property sets, SERVICE, expressions in GROUP BY /
+ORDER BY.
 """
 
 from __future__ import annotations
@@ -538,8 +539,8 @@ class Parser:
             return True
         if t.kind == "OP" and t.value in "+-" and self.peek(1).kind == "NUM":
             return True
-        if t.kind == "OP" and t.value == "[":
-            return True  # parse_term raises the loud unsupported error
+        if t.kind == "OP" and t.value in "[(":
+            return True  # blank-node property list / collection subject
         return False
 
     _bnpl_counter: int = 0
@@ -547,6 +548,40 @@ class Parser:
     def _fresh_bnpl_var(self) -> str:
         self._bnpl_counter += 1
         return f"?__bnpl{self._bnpl_counter}"
+
+    def _parse_collection(self, sink: list) -> str:
+        """``( o1 o2 … )`` in a pattern = fresh variables chained with
+        rdf:first/rdf:rest patterns; ``()`` is the rdf:nil constant."""
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        self.expect_op("(")
+        items: list[str] = []
+        while not self.at_op(")"):
+            if self.peek().kind == "EOF":
+                raise ValueError("unterminated collection in pattern")
+            items.append(self._parse_node_term(sink))
+        self.next()
+        if not items:
+            return rdf + "nil"
+        head = self._fresh_bnpl_var()
+        node = head
+        for j, item in enumerate(items):
+            sink.append(TriplePattern(node, rdf + "first", item))
+            if j == len(items) - 1:
+                sink.append(TriplePattern(node, rdf + "rest", rdf + "nil"))
+            else:
+                nxt = self._fresh_bnpl_var()
+                sink.append(TriplePattern(node, rdf + "rest", nxt))
+                node = nxt
+        return head
+
+    def _parse_node_term(self, sink: list) -> str:
+        """Term in subject/object position: plain term, ``[ … ]``
+        property list, or ``( … )`` collection."""
+        if self.at_op("["):
+            return self._parse_bnpl(sink)
+        if self.at_op("("):
+            return self._parse_collection(sink)
+        return self.parse_term("object")
 
     def _parse_bnpl(self, sink: list) -> str:
         """``[ p o ; … ]`` in a pattern = a fresh non-projected variable
@@ -563,11 +598,7 @@ class Parser:
         while True:
             p = self._parse_verb()
             while True:
-                o = (
-                    self._parse_bnpl(sink)
-                    if self.at_op("[")
-                    else self.parse_term("object")
-                )
+                o = self._parse_node_term(sink)
                 sink.append(TriplePattern(s, p, o))
                 if self.eat_op(","):
                     continue
@@ -587,6 +618,8 @@ class Parser:
             # '[ … ] .' — the property list may BE the whole statement
             if self.at_op(".", "}") or self.peek().kind == "EOF":
                 return
+        elif self.at_op("("):
+            s = self._parse_collection(sink)
         else:
             s = self.parse_term("subject")
         self._pred_obj_list(s, sink)

@@ -340,3 +340,28 @@ def test_outer_var_filter_in_optional_rejected(fruit_kg):
     """
     with pytest.raises(ValueError, match="outer variables"):
         sparql_select(fruit_kg, q).collect()
+
+
+def test_collection_in_query_pattern(spark, tmp_path):
+    """`( … )` in a pattern expands to rdf:first/rdf:rest chains over
+    fresh non-projected variables — matches data lists element-wise,
+    order-sensitively."""
+    from de_spark.query import sparql_select as sel
+    from de_spark.sources.turtle import parse_turtle
+    from de_spark import terms as _terms
+
+    ttl = """
+    @prefix ex: <http://x/>.
+    ex:s ex:list (ex:A ex:B) .
+    ex:t ex:list (ex:B ex:A) .
+    ex:u ex:list () .
+    """
+    rows = [(s, p, o, _terms.classify_py(o), "g") for s, p, o in parse_turtle(ttl)]
+    kg, _ = build(
+        spark.createDataFrame(rows, ["s", "p", "o", "o_kind", "graph"]),
+        str(tmp_path / "coll"),
+    )
+    q = "PREFIX ex: <http://x/>\nSELECT ?s WHERE { ?s ex:list (ex:A ex:B) }"
+    assert names(sel(kg, q), "s") == ["s"]  # ex:t has the reverse order
+    q2 = "PREFIX ex: <http://x/>\nSELECT ?s WHERE { ?s ex:list () }"
+    assert names(sel(kg, q2), "s") == ["u"]  # () = the rdf:nil constant
