@@ -212,10 +212,11 @@ class SubQueryNode:
 @dataclass
 class Aggregate:
     func: str  # count | sum | avg | min | max | sample | group_concat
-    var: str   # source var name or '*'
+    var: str   # source var name, '*', or '' when expr is set
     alias: str
     distinct: bool = False
     sep: str = " "
+    expr: object = None  # aggregate over an expression, e.g. SUM(?a * ?b)
 
 
 @dataclass
@@ -964,16 +965,17 @@ class Parser:
             func = self.next().value.upper()
             self.expect_op("(")
             distinct = self.eat_word("DISTINCT")
+            expr = None
             if self.at_op("*"):
                 self.next()
                 var = "*"
+            elif self.peek().kind == "VAR" and (
+                self.peek(1).kind == "OP" and self.peek(1).value in (")", ";")
+            ):
+                var = self.next().value[1:]
             else:
-                vt = self.next()
-                if vt.kind != "VAR":
-                    raise ValueError(
-                        f"aggregates over expressions are unsupported: {func}(…)"
-                    )
-                var = vt.value[1:]
+                expr = self.parse_expr()
+                var = ""
             sep = " "
             if self.eat_op(";"):
                 self.expect_word("SEPARATOR")
@@ -988,7 +990,7 @@ class Parser:
             if at.kind != "VAR":
                 raise ValueError("aggregate projection requires 'AS ?alias'")
             q.aggregates.append(
-                Aggregate(func.lower(), var, at.value[1:], distinct, sep)
+                Aggregate(func.lower(), var, at.value[1:], distinct, sep, expr)
             )
         else:
             e = self.parse_expr()

@@ -670,18 +670,35 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery) -> DataFrame:
 
     if q.aggregates:
         aggs = []
+        agg_env = _env_for(decoded)
         for a in q.aggregates:
+            # source: a plain variable (term string) or an expression
+            # evaluated over the decoded solutions (SUM(?a * ?b))
+            if a.expr is not None:
+                src, src_tag = _ex(a.expr, agg_env)
+            else:
+                src, src_tag = F.col(a.var), "term"
             if a.func == "count":
                 if a.var == "*":
                     aggs.append(F.count(F.lit(1)).alias(a.alias))
                 elif a.distinct:
-                    aggs.append(F.countDistinct(a.var).alias(a.alias))
+                    aggs.append(F.countDistinct(src).alias(a.alias))
                 else:
-                    aggs.append(F.count(a.var).alias(a.alias))
+                    aggs.append(F.count(src).alias(a.alias))
+                continue
+            if a.func == "sample":
+                aggs.append(F.first(src).alias(a.alias))
+                continue
+            if a.func == "group_concat":
+                aggs.append(
+                    F.concat_ws(a.sep, F.collect_list(_as_str(src, src_tag))).alias(
+                        a.alias
+                    )
+                )
                 continue
             # numeric aggregates operate on the literal's lexical value
             # (try_cast: non-numeric terms aggregate as NULL, not abort)
-            col = terms.literal_value(F.col(a.var)).try_cast("double")
+            col = _as_num(src, src_tag)
             if a.func == "sum":
                 aggs.append(F.sum(col).alias(a.alias))
             elif a.func == "avg":
@@ -690,12 +707,6 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery) -> DataFrame:
                 aggs.append(F.min(col).alias(a.alias))
             elif a.func == "max":
                 aggs.append(F.max(col).alias(a.alias))
-            elif a.func == "sample":
-                aggs.append(F.first(F.col(a.var)).alias(a.alias))
-            elif a.func == "group_concat":
-                aggs.append(
-                    F.concat_ws(a.sep, F.collect_list(F.col(a.var))).alias(a.alias)
-                )
         grouped = decoded.groupBy(*q.group_by) if q.group_by else decoded.groupBy()
         decoded = grouped.agg(*aggs)
         for h in q.having:

@@ -365,3 +365,16 @@ def test_collection_in_query_pattern(spark, tmp_path):
     assert names(sel(kg, q), "s") == ["s"]  # ex:t has the reverse order
     q2 = "PREFIX ex: <http://x/>\nSELECT ?s WHERE { ?s ex:list () }"
     assert names(sel(kg, q2), "s") == ["u"]  # () = the rdf:nil constant
+
+
+def test_aggregate_over_expression(num_kg):
+    """SPARQL aggregates accept expressions: SUM(?v * 2), COUNT of an
+    expression, GROUP_CONCAT with SEPARATOR."""
+    q = "SELECT (SUM(?v * 2) AS ?t) (AVG(?v + 1) AS ?m) WHERE { ?s <http://x/val> ?v }"
+    row = sparql_select(num_kg, q).collect()[0]
+    assert row["t"] == 90.0 and row["m"] == 16.0
+    q2 = 'SELECT (GROUP_CONCAT(?s ; SEPARATOR=",") AS ?gs) WHERE { ?s <http://x/val> ?v }'
+    parts = sorted(sparql_select(num_kg, q2).collect()[0]["gs"].split(","))
+    assert parts == ["http://x/s1", "http://x/s2", "http://x/s3"]
+    q3 = "SELECT (COUNT(STRLEN(STR(?s))) AS ?n) WHERE { ?s <http://x/val> ?v }"
+    assert sparql_select(num_kg, q3).collect()[0]["n"] == 3
