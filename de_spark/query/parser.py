@@ -109,6 +109,17 @@ class ExistsE:
     neg: bool
 
 
+@dataclass(frozen=True)
+class AggE:
+    """An aggregate call inside an expression (HAVING(COUNT(?s) > 1));
+    the executor rewrites it to a hidden aggregate column."""
+
+    func: str
+    var: str  # '*', a var name, or '' when expr is set
+    distinct: bool = False
+    expr: object = None
+
+
 def expr_vars(e) -> set[str]:
     if isinstance(e, VarE):
         return {e.name}
@@ -315,7 +326,7 @@ _BUILTINS = {
     "LANG", "DATATYPE", "STR", "STRSTARTS", "STRENDS", "CONTAINS",
     "STRLEN", "SUBSTR", "UCASE", "LCASE", "STRBEFORE", "STRAFTER",
     "CONCAT", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND", "IF",
-    "COALESCE", "LANGMATCHES",
+    "COALESCE", "LANGMATCHES", "IRI", "URI", "STRDT", "STRLANG",
 }
 
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
@@ -757,6 +768,21 @@ class Parser:
                 self.next()
                 self.next()
                 return ExistsE(self.parse_group(), neg=True)
+            if w in _AGG_FUNCS:
+                self.next()
+                self.expect_op("(")
+                distinct = self.eat_word("DISTINCT")
+                expr = None
+                if self.at_op("*"):
+                    self.next()
+                    var = "*"
+                elif self.peek().kind == "VAR" and self.peek(1).kind == "OP" and self.peek(1).value == ")":
+                    var = self.next().value[1:]
+                else:
+                    expr = self.parse_expr()
+                    var = ""
+                self.expect_op(")")
+                return AggE(w.lower(), var, distinct, expr)
             if w in _BUILTINS:
                 self.next()
                 return self._builtin_call(w)

@@ -48,6 +48,8 @@ from de_spark import terms
 from de_spark.graph import KnowledgeGraph
 from de_spark.query.bgp import TriplePattern, compile_bgp
 from de_spark.query.parser import (
+    AggE,
+    Aggregate,
     BGPNode,
     Bin,
     BoolE,
@@ -322,6 +324,20 @@ def _call(e: Call, env: dict) -> tuple[Column, str]:
         if tags <= {"num", "int"}:
             return F.coalesce(*[_as_num(c, t) for c, t in parts]), "num"
         return F.coalesce(*[_as_str(c, t) for c, t in parts]), "str"
+    if name in ("IRI", "URI"):
+        c, t = arg(0)
+        return _as_str(c, t), "term"  # bare IRI string = HDT IRI term
+    if name == "STRDT":
+        c, t = arg(0)
+        dt = _const_str(e.args[1])
+        return (
+            F.concat(F.lit('"'), _as_str(c, t), F.lit(f'"^^<{dt}>')),
+            "term",
+        )
+    if name == "STRLANG":
+        c, t = arg(0)
+        lang = _const_str(e.args[1])
+        return F.concat(F.lit('"'), _as_str(c, t), F.lit(f'"@{lang}')), "term"
     if name == "LANGMATCHES":
         c, t = arg(0)
         rng = _const_str(e.args[1]).lower()
@@ -640,6 +656,31 @@ def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
 # ---------------------------------------------------------------------------
 
 
+def _rewrite_having(e, hidden: list):
+    """Replace aggregate calls inside a HAVING constraint with hidden
+    aggregate columns (``__havN``) computed alongside the projected
+    aggregates, returning the rewritten expression."""
+    if isinstance(e, AggE):
+        alias = f"__hav{len(hidden)}"
+        hidden.append(Aggregate(e.func, e.var, alias, e.distinct, " ", e.expr))
+        return VarE(alias)
+    if isinstance(e, Bin):
+        return Bin(e.op, _rewrite_having(e.left, hidden), _rewrite_having(e.right, hidden))
+    if isinstance(e, Un):
+        return Un(e.op, _rewrite_having(e.expr, hidden))
+    if isinstance(e, Call):
+        return Call(
+            e.name,
+            tuple(
+                a if isinstance(a, str) else _rewrite_having(a, hidden)
+                for a in e.args
+            ),
+        )
+    if isinstance(e, InE):
+        return InE(_rewrite_having(e.expr, hidden), e.items, e.neg)
+    return e
+
+
 def _env_for(df: DataFrame) -> dict:
     """Expression env over a decoded solutions DataFrame: string
     columns are term strings; numeric columns (aggregate results)
@@ -668,10 +709,12 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery) -> DataFrame:
         col, tag = _ex(e, env)
         decoded = decoded.withColumn(alias, _render_term(col, tag))
 
-    if q.aggregates:
+    hidden: list = []
+    having_rw = [_rewrite_having(h, hidden) for h in q.having]
+    if q.aggregates or q.group_by or hidden:
         aggs = []
         agg_env = _env_for(decoded)
-        for a in q.aggregates:
+        for a in list(q.aggregates) + hidden:
             # source: a plain variable (term string) or an expression
             # evaluated over the decoded solutions (SUM(?a * ?b))
             if a.expr is not None:
@@ -707,9 +750,12 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery) -> DataFrame:
                 aggs.append(F.min(col).alias(a.alias))
             elif a.func == "max":
                 aggs.append(F.max(col).alias(a.alias))
+        if not aggs:
+            # GROUP BY with no aggregates = distinct group keys
+            aggs.append(F.count(F.lit(1)).alias("__dummy"))
         grouped = decoded.groupBy(*q.group_by) if q.group_by else decoded.groupBy()
         decoded = grouped.agg(*aggs)
-        for h in q.having:
+        for h in having_rw:
             cond, tag = _ex(h, _env_for(decoded))
             decoded = decoded.where(_as_bool(cond, tag))
         proj = (q.variables or q.group_by) + [a.alias for a in q.aggregates]

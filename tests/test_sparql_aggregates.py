@@ -99,3 +99,27 @@ def test_filter_term_functions(kg):
 
     q3 = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(isIRI(?o)) }'
     assert sparql_select(kg, q3).count() == 3
+
+
+def test_having_inline_aggregate(kg):
+    """HAVING(COUNT(?s) > 1): aggregate calls inside the HAVING
+    constraint compile to hidden aggregate columns."""
+    q = """
+    PREFIX x: <http://x/>
+    SELECT ?k WHERE { ?s x:kind ?k } GROUP BY ?k HAVING(COUNT(?s) > 1)
+    """
+    rows = sparql_select(kg, q).collect()
+    assert [r["k"] for r in rows] == ["http://x/A"]
+    # arithmetic around the aggregate + a projected aggregate together
+    q2 = """
+    PREFIX x: <http://x/>
+    SELECT ?k (MAX(?v) AS ?hi) WHERE { ?s x:kind ?k . ?s x:val ?v }
+    GROUP BY ?k HAVING(SUM(?v) * 2 >= 80) ORDER BY ?k
+    """
+    rows2 = sparql_select(kg, q2).collect()
+    assert [(r["k"], r["hi"]) for r in rows2] == [("http://x/A", 30.0)]
+
+
+def test_group_by_without_aggregates_is_distinct_keys(kg):
+    q = "PREFIX x: <http://x/>\nSELECT ?k WHERE { ?s x:kind ?k } GROUP BY ?k ORDER BY ?k"
+    assert [r["k"] for r in sparql_select(kg, q).collect()] == ["http://x/A", "http://x/B"]

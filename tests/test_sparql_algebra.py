@@ -378,3 +378,19 @@ def test_aggregate_over_expression(num_kg):
     assert parts == ["http://x/s1", "http://x/s2", "http://x/s3"]
     q3 = "SELECT (COUNT(STRLEN(STR(?s))) AS ?n) WHERE { ?s <http://x/val> ?v }"
     assert sparql_select(num_kg, q3).collect()[0]["n"] == 3
+
+
+def test_term_constructor_builtins(num_kg):
+    """IRI/STRDT/STRLANG construct new RDF terms in BIND."""
+    q = """
+    SELECT ?s ?i ?d ?l WHERE {
+      ?s <http://x/val> ?v .
+      BIND(IRI(CONCAT("http://x/node/", STR(?v))) AS ?i)
+      BIND(STRDT(STR(?v), <http://www.w3.org/2001/XMLSchema#byte>) AS ?d)
+      BIND(STRLANG("hello", "en") AS ?l)
+    } ORDER BY ?s
+    """
+    r = sparql_select(num_kg, q).collect()[0]
+    assert r["i"] == "http://x/node/10"
+    assert r["d"] == '"10"^^<http://www.w3.org/2001/XMLSchema#byte>'
+    assert r["l"] == '"hello"@en'
