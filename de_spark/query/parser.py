@@ -327,6 +327,7 @@ _BUILTINS = {
     "STRLEN", "SUBSTR", "UCASE", "LCASE", "STRBEFORE", "STRAFTER",
     "CONCAT", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND", "IF",
     "COALESCE", "LANGMATCHES", "IRI", "URI", "STRDT", "STRLANG",
+    "SAMETERM", "MD5", "SHA1", "SHA256",
 }
 
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}

@@ -324,6 +324,17 @@ def _call(e: Call, env: dict) -> tuple[Column, str]:
         if tags <= {"num", "int"}:
             return F.coalesce(*[_as_num(c, t) for c, t in parts]), "num"
         return F.coalesce(*[_as_str(c, t) for c, t in parts]), "str"
+    if name == "SAMETERM":
+        lc, lt = arg(0)
+        rc, rt = arg(1)
+        if lt != "term" or rt != "term":
+            raise ValueError("sameTerm requires RDF term arguments")
+        return lc == rc, "bool"  # raw HDT-string identity
+    if name in ("MD5", "SHA1", "SHA256"):
+        c, t = arg(0)
+        s = _as_str(c, t)
+        col = {"MD5": F.md5(s), "SHA1": F.sha1(s), "SHA256": F.sha2(s, 256)}[name]
+        return col, "str"
     if name in ("IRI", "URI"):
         c, t = arg(0)
         return _as_str(c, t), "term"  # bare IRI string = HDT IRI term

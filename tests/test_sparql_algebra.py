@@ -394,3 +394,16 @@ def test_term_constructor_builtins(num_kg):
     assert r["i"] == "http://x/node/10"
     assert r["d"] == '"10"^^<http://www.w3.org/2001/XMLSchema#byte>'
     assert r["l"] == '"hello"@en'
+
+
+def test_sameterm_and_hash_builtins(fruit_kg):
+    q = EX + "SELECT ?f WHERE { ?f ex:hasVitamin ?v . FILTER(sameTerm(?v, ex:VitaminC)) }"
+    assert names(sparql_select(fruit_kg, q)) == ["Pineapple"]
+    import hashlib
+
+    expect = hashlib.md5(b"curved").hexdigest()
+    q2 = EX + f'SELECT ?f WHERE {{ ?f ex:hasShape ?s . FILTER(MD5(?s) = "{expect}") }}'
+    assert names(sparql_select(fruit_kg, q2)) == ["Banana"]
+    expect256 = hashlib.sha256(b"oblong").hexdigest()
+    q3 = EX + f'SELECT ?f WHERE {{ ?f ex:hasShape ?s . FILTER(SHA256(?s) = "{expect256}") }}'
+    assert names(sparql_select(fruit_kg, q3)) == ["Pineapple"]
