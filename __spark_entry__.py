@@ -135,6 +135,33 @@ def _kg_sparql_union_minus(spark, sf_dir):
     )
 
 
+def _kg_sparql_construct(spark, sf_dir):
+    """CONSTRUCT through the text surface: template instantiation per
+    solution + triple-set dedup (reference routes CONSTRUCT through
+    oxigraph + oxrdfio serializers, src/query.rs:155-175)."""
+    from de_spark.query import sparql_construct
+
+    kg = documents_kg(spark, sf_dir)
+    return sparql_construct(
+        kg,
+        f"""
+        CONSTRUCT {{ ?d <{CODE}aboutWord> ?w }}
+        WHERE {{ ?d <{CODE}mentions> ?w . ?d <{CODE}lang> "en" }}
+        """,
+    )
+
+
+def _kg_sparql_ask(spark, sf_dir):
+    """ASK through the text surface → one boolean row (the reference's
+    QueryResults::Boolean branch, src/query.rs:133-144)."""
+    from de_spark.query import sparql_select
+
+    kg = documents_kg(spark, sf_dir)
+    return sparql_select(
+        kg, f'ASK {{ ?d <{CODE}mentions> <{ENT}word/window> }}'
+    ).select(F.col("bool").alias("b"))
+
+
 _WORD_PREFIX_LEN = len(ENT + "word/")
 
 
@@ -396,6 +423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_not_exists": _kg_sparql_not_exists,
         "kg_sparql_union_minus": _kg_sparql_union_minus,
         "kg_sparql_bind_arith": _kg_sparql_bind_arith,
+        "kg_sparql_construct": _kg_sparql_construct,
+        "kg_sparql_ask": _kg_sparql_ask,
         "kg_mentions_degree": _kg_mentions_degree,
         # relational operators
         "q1_pricing_summary": _q1_pricing_summary,
@@ -668,6 +697,19 @@ def oracle_sql() -> dict[str, str]:
         WHERE p = '{CODE}mentions'
           AND length(o) - {_WORD_PREFIX_LEN} >= 8
         GROUP BY s
+        """,
+        "kg_sparql_construct": TRIPLES_SQL
+        + f"""
+        SELECT DISTINCT a.s AS s, '{CODE}aboutWord' AS p, a.o AS o
+        FROM triples a JOIN triples b ON a.s = b.s
+        WHERE a.p = '{CODE}mentions' AND b.p = '{CODE}lang' AND b.o = '"en"'
+        """,
+        "kg_sparql_ask": TRIPLES_SQL
+        + f"""
+        SELECT EXISTS(
+          SELECT 1 FROM triples
+          WHERE p = '{CODE}mentions' AND o = '{ENT}word/window'
+        ) AS b
         """,
         "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
