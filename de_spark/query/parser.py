@@ -651,19 +651,21 @@ class Parser:
             self.expect_op(")")
             single = False
         self.expect_op("{")
-        rows: list[list[str]] = []
+        rows: list[list] = []  # None = UNDEF (row binds a var subset)
         while not self.at_op("}"):
-            if self.at_word("UNDEF"):
-                raise ValueError("VALUES UNDEF is unsupported")
             if single:
-                rows.append([self.parse_term("object")])
+                if self.eat_word("UNDEF"):
+                    rows.append([None])
+                else:
+                    rows.append([self.parse_term("object")])
             else:
                 self.expect_op("(")
-                row = []
+                row: list = []
                 while not self.at_op(")"):
-                    if self.at_word("UNDEF"):
-                        raise ValueError("VALUES UNDEF is unsupported")
-                    row.append(self.parse_term("object"))
+                    if self.eat_word("UNDEF"):
+                        row.append(None)
+                    else:
+                        row.append(self.parse_term("object"))
                 self.expect_op(")")
                 if len(row) != len(vars_):
                     raise ValueError(f"VALUES row arity mismatch: {row!r}")

@@ -500,6 +500,10 @@ def _apply_filter(kg: KnowledgeGraph, df: DataFrame, e, graph: str | None) -> Da
     return df2.where(_as_bool(cond, tag)).drop(*temp)
 
 
+def _has_undef(node: ValuesNode) -> bool:
+    return any(any(v is None for v in r) for r in node.rows)
+
+
 def _values_df(kg: KnowledgeGraph, node: ValuesNode) -> DataFrame:
     """VALUES rows resolved to uids through the vocabulary (a term
     absent from the graph matches nothing, like any constant bind)."""
@@ -515,6 +519,51 @@ def _values_df(kg: KnowledgeGraph, node: ValuesNode) -> DataFrame:
     return vdf.select(*node.vars).dropDuplicates()
 
 
+def _join_values_undef(
+    kg: KnowledgeGraph, sols: DataFrame, node: ValuesNode
+) -> DataFrame:
+    """VALUES with UNDEF: each row constrains only the variables it
+    binds (SPARQL compatibility), so rows group by their bound-variable
+    mask and each mask inner-joins the solutions on its subset; a
+    solution appears once per compatible row (union across masks =
+    bag semantics).  All-UNDEF rows are compatible with everything."""
+    from collections import defaultdict
+
+    spark = sols.sparkSession
+    groups: dict = defaultdict(list)
+    for row in node.rows:
+        mask = tuple(v for v, val in zip(node.vars, row) if val is not None)
+        groups[mask].append([val for val in row if val is not None])
+
+    missing = [v for v in node.vars if v not in sols.columns]
+    if missing:
+        raise ValueError(f"VALUES variables not bound by the group: {missing}")
+
+    parts: list[DataFrame] = []
+    for mask, rows in groups.items():
+        if not mask:
+            for _ in rows:
+                parts.append(sols)
+            continue
+        vdf = spark.createDataFrame(
+            [tuple(r) for r in rows], [f"__t_{v}" for v in mask]
+        )
+        for v in mask:
+            vdf = vdf.join(
+                kg.term_uids.select(
+                    F.col("term").alias(f"__t_{v}"), F.col("uid").alias(v)
+                ),
+                f"__t_{v}",
+            )
+        vdf = vdf.select(*mask).dropDuplicates()
+        l, r, shared = _coerce_shared(kg, sols, vdf)
+        parts.append(l.join(r, shared, "inner"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
     """Algebra node → DataFrame (None = the empty/unit pattern)."""
     if node is None:
@@ -528,6 +577,17 @@ def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
         return compile_bgp(kg, pats)
 
     if isinstance(node, JoinNode):
+        # VALUES with UNDEF joins per bound-variable mask against the
+        # OTHER side (join is commutative, so it may sit on either side)
+        for vn, other in (
+            (node.right, node.left),
+            (node.left, node.right),
+        ):
+            if isinstance(vn, ValuesNode) and _has_undef(vn):
+                o = _compile(kg, other, graph)
+                if o is None:
+                    raise ValueError("VALUES with UNDEF requires accompanying patterns")
+                return _join_values_undef(kg, o, vn)
         l = _compile(kg, node.left, graph)
         r = _compile(kg, node.right, graph)
         if l is None:
@@ -637,6 +697,8 @@ def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
         return _compile(kg, node.child, node.term)
 
     if isinstance(node, ValuesNode):
+        if _has_undef(node):
+            raise ValueError("VALUES with UNDEF requires preceding patterns")
         return _values_df(kg, node)
 
     if isinstance(node, SubQueryNode):

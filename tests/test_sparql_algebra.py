@@ -322,9 +322,20 @@ def test_negated_property_set(fruit_kg):
         parse_sparql("SELECT ?s WHERE { ?s !(^<http://x/p>) ?o }")
 
 
+def test_values_undef_partial_rows(fruit_kg):
+    """UNDEF rows constrain only their bound variables (SPARQL
+    compatibility): each row joins the solutions on its bound subset."""
+    q = EX + """
+    SELECT ?f ?s WHERE {
+      ?f ex:hasShape ?s .
+      VALUES (?f ?s) { (ex:Banana UNDEF) (UNDEF "oblong") }
+    } ORDER BY ?f
+    """
+    rows = [(r["f"].rsplit("/", 1)[1], r["s"]) for r in sparql_select(fruit_kg, q).collect()]
+    assert rows == [("Banana", '"curved"'), ("Pineapple", '"oblong"')]
+
+
 def test_loud_rejections():
-    with pytest.raises(ValueError, match="UNDEF"):
-        parse_sparql("SELECT ?f WHERE { ?f ?p ?o . VALUES ?f { UNDEF } }")
     with pytest.raises(ValueError, match="undefined prefix"):
         parse_sparql("SELECT ?s WHERE { ?s ex:p ?o }")
     with pytest.raises(ValueError, match="SERVICE"):
