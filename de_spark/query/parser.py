@@ -1040,6 +1040,23 @@ class Parser:
     def _construct_query(self) -> ParsedQuery:
         self.expect_word("CONSTRUCT")
         q = ParsedQuery(form="construct")
+        if self.at_word("WHERE"):
+            # CONSTRUCT WHERE { triples } shorthand: the WHERE pattern
+            # (plain triples only) doubles as the template
+            self.next()
+            q.algebra = self.parse_group()
+            node = q.algebra
+            if isinstance(node, FilterNode) or not isinstance(node, BGPNode):
+                raise ValueError(
+                    "CONSTRUCT WHERE shorthand allows only plain triple patterns"
+                )
+            if any(p.is_path() for p in node.patterns):
+                raise ValueError(
+                    "CONSTRUCT WHERE shorthand allows only plain triple patterns"
+                )
+            q.construct_template = list(node.patterns)
+            self._modifiers(q)
+            return q
         template: list[TriplePattern] = []
         self.expect_op("{")
         while not self.at_op("}"):

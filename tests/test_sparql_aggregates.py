@@ -123,3 +123,19 @@ def test_having_inline_aggregate(kg):
 def test_group_by_without_aggregates_is_distinct_keys(kg):
     q = "PREFIX x: <http://x/>\nSELECT ?k WHERE { ?s x:kind ?k } GROUP BY ?k ORDER BY ?k"
     assert [r["k"] for r in sparql_select(kg, q).collect()] == ["http://x/A", "http://x/B"]
+
+
+def test_construct_where_shorthand(kg):
+    from de_spark.query.sparql import sparql_construct
+
+    q = "PREFIX x: <http://x/>\nCONSTRUCT WHERE { ?s x:kind ?k }"
+    rows = {(r["s"], r["p"], r["o"]) for r in sparql_construct(kg, q).collect()}
+    assert rows == {
+        ("http://x/s1", "http://x/kind", "http://x/A"),
+        ("http://x/s2", "http://x/kind", "http://x/A"),
+        ("http://x/s3", "http://x/kind", "http://x/B"),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="plain triple patterns"):
+        sparql_construct(kg, "CONSTRUCT WHERE { ?s ?p ?o FILTER(isIRI(?o)) }")
