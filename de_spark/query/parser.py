@@ -31,10 +31,11 @@ whole conjunction; OPTIONAL/MINUS/BIND are sequence points and flush.
 
 Blank-node property lists ``[ … ]`` and collections ``( … )`` in
 patterns compile to fresh non-projected variables (collections expand
-to rdf:first/rdf:rest pattern chains).  Unsupported constructs raise
-``ValueError`` loudly (never a silent wrong answer): inverse members
-in negated property sets, SERVICE, expressions in GROUP BY /
-ORDER BY.
+to rdf:first/rdf:rest pattern chains).  GROUP BY accepts expression
+conditions (``(expr)``, ``(expr AS ?v)``, builtin calls) and ORDER BY
+accepts expression keys including aggregates (``DESC(COUNT(?x))``).
+Unsupported constructs raise ``ValueError`` loudly (never a silent
+wrong answer): SERVICE, most custom function calls.
 """
 
 from __future__ import annotations
@@ -327,7 +328,9 @@ _BUILTINS = {
     "STRLEN", "SUBSTR", "UCASE", "LCASE", "STRBEFORE", "STRAFTER",
     "CONCAT", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND", "IF",
     "COALESCE", "LANGMATCHES", "IRI", "URI", "STRDT", "STRLANG",
-    "SAMETERM", "MD5", "SHA1", "SHA256",
+    "SAMETERM", "MD5", "SHA1", "SHA256", "ISNUMERIC",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
+    "NOW", "ENCODE_FOR_URI", "UUID", "STRUUID", "RAND",
 }
 
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
@@ -521,11 +524,11 @@ class Parser:
         return rendered, compound
 
     def _nps_member(self) -> str:
+        if self.eat_op("^"):
+            # inverse member ^iri: matches reverse edges whose
+            # predicate is outside the inverse subset (SPARQL 1.1 §9.1)
+            return "^" + self._nps_member()
         t = self.peek()
-        if self.at_op("^"):
-            raise ValueError(
-                "inverse members in negated property sets are unsupported"
-            )
         if t.kind == "IRI":
             self.next()
             return t.value
@@ -1106,10 +1109,35 @@ class Parser:
             if self.at_word("GROUP"):
                 self.next()
                 self.expect_word("BY")
-                while self.peek().kind == "VAR":
-                    q.group_by.append(self.next().value[1:])
-                if not q.group_by:
-                    raise ValueError("GROUP BY expressions are unsupported")
+                # GroupCondition ::= Var | BuiltInCall
+                #                  | '(' Expression ('AS' Var)? ')'
+                n_grp = 0
+                while True:
+                    if self.peek().kind == "VAR":
+                        q.group_by.append(self.next().value[1:])
+                    elif self.at_op("("):
+                        self.next()
+                        e = self.parse_expr()
+                        alias = None
+                        if self.eat_word("AS"):
+                            at = self.next()
+                            if at.kind != "VAR":
+                                raise ValueError("GROUP BY (expr AS ?var) requires a variable")
+                            alias = at.value[1:]
+                        self.expect_op(")")
+                        q.group_by.append((alias, e))
+                    elif (
+                        self.peek().kind == "WORD"
+                        and self.peek().value.upper() in _BUILTINS
+                    ):
+                        q.group_by.append(
+                            (None, self._builtin_call(self.next().value.upper()))
+                        )
+                    else:
+                        break
+                    n_grp += 1
+                if not n_grp:
+                    raise ValueError("GROUP BY requires at least one condition")
             elif self.at_word("HAVING"):
                 self.next()
                 q.having.append(self.parse_constraint())
@@ -1117,23 +1145,39 @@ class Parser:
                 self.next()
                 self.expect_word("BY")
                 found = False
+                # OrderCondition ::= (ASC|DESC) '(' Expression ')'
+                #                  | Var | BuiltInCall | '(' Expression ')'
                 while True:
                     if self.at_word("ASC", "DESC"):
                         desc = self.next().value.upper() == "DESC"
                         self.expect_op("(")
-                        vt = self.next()
-                        if vt.kind != "VAR":
-                            raise ValueError("ORDER BY expressions are unsupported")
+                        e = self.parse_expr()
                         self.expect_op(")")
-                        q.order_by.append((vt.value[1:], desc))
+                        key = e.name if isinstance(e, VarE) else e
+                        q.order_by.append((key, desc))
                         found = True
                     elif self.peek().kind == "VAR":
                         q.order_by.append((self.next().value[1:], False))
                         found = True
+                    elif self.at_op("("):
+                        self.next()
+                        e = self.parse_expr()
+                        self.expect_op(")")
+                        key = e.name if isinstance(e, VarE) else e
+                        q.order_by.append((key, False))
+                        found = True
+                    elif (
+                        self.peek().kind == "WORD"
+                        and self.peek().value.upper() in _BUILTINS
+                    ):
+                        q.order_by.append(
+                            (self._builtin_call(self.next().value.upper()), False)
+                        )
+                        found = True
                     else:
                         break
                 if not found:
-                    raise ValueError("ORDER BY requires at least one variable")
+                    raise ValueError("ORDER BY requires at least one sort key")
             elif self.at_word("LIMIT"):
                 self.next()
                 q.limit = int(self.next().value)

@@ -7,9 +7,11 @@ de_spark.query.parser compiles to DataFrame operators:
 - BGP            → de_spark.query.bgp.compile_bgp (uid joins,
                    selectivity-ordered, AQE/salting underneath)
 - Join           → inner join on shared vars (cross join when none)
-- OPTIONAL       → left outer join; filters written inside the
-                   OPTIONAL scope to the right side (outer-variable
-                   filters are rejected loudly)
+- OPTIONAL       → left outer join; filters inside the OPTIONAL
+                   scope apply to the right side, and filters that
+                   reference OUTER variables compile as the SPARQL
+                   LeftJoin condition (filtered inner join ∪
+                   null-padded unmatched left rows)
 - MINUS          → left_anti on shared vars (no shared vars ⇒ no
                    removal, per SPARQL 1.1 §8.3)
 - UNION          → unionByName with null padding (n-ary, nested)
@@ -32,9 +34,11 @@ de_spark.query.parser compiles to DataFrame operators:
 Solutions stay uid-typed longs until the final decode; BIND/GRAPH ?g
 produce string columns that pass through the decode untouched.  Joins
 between a uid column and a string column (e.g. a BIND var meeting a
-pattern var) decode the uid side first.  ORDER BY runs on decoded
-strings, matching the reference's string-typed term ordering
-(SURVEY.md §2.6 O1).
+pattern var) decode the uid side first.  ORDER BY uses SPARQL value
+ordering over decoded terms (§15.1: blank < IRI < literal, numeric
+literals by value — spareval semantics); comparisons between two
+term operands likewise go numeric when both carry numeric XSD
+datatypes.
 """
 
 from __future__ import annotations
@@ -154,8 +158,20 @@ def _cmp(op: str, lc, lt, rc, rt):
         lc, rc = _as_num(lc, lt), _as_num(rc, rt)
     elif lt == "str" or rt == "str":
         lc, rc = _as_str(lc, lt), _as_str(rc, rt)
-    # term vs term: raw HDT string comparison (equality incl. datatype
-    # suffix; ordering = the reference's string collation)
+    else:
+        # term vs term (var-var, or var vs a typed literal): SPARQL
+        # operator mapping compares numeric literals by VALUE —
+        # "1"^^xsd:integer = "01"^^xsd:integer, ?a > "9"^^xsd:integer
+        # is numeric, not lexicographic (spareval, src/sparql.rs:520).
+        # Non-numeric terms keep the raw HDT-string comparison
+        # (equality incl. datatype suffix; ordering = the reference's
+        # string collation).
+        ln, rn = terms.numeric_value(lc), terms.numeric_value(rc)
+        both_num = ln.isNotNull() & rn.isNotNull()
+        return (
+            F.when(both_num, _CMP_OPS[op](ln, rn)).otherwise(_CMP_OPS[op](lc, rc)),
+            "bool",
+        )
     return _CMP_OPS[op](lc, rc), "bool"
 
 
@@ -356,6 +372,62 @@ def _call(e: Call, env: dict) -> tuple[Column, str]:
         if rng == "*":
             return F.length(lc) > 0, "bool"
         return (lc == rng) | lc.startswith(rng + "-"), "bool"
+    if name == "ISNUMERIC":
+        c, t = arg(0)
+        if t in ("num", "int"):
+            return F.lit(True), "bool"
+        if t != "term":
+            return F.lit(False), "bool"
+        return terms.numeric_value(c).isNotNull(), "bool"
+    if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+        # datetime accessors over xsd:dateTime/xsd:date literals: the
+        # lexical form casts to a timestamp (try_cast: non-datetime
+        # terms yield NULL, never abort); SECONDS returns the integer
+        # part (xsd:decimal fractional seconds descoped, documented)
+        c, t = arg(0)
+        if t != "term":
+            raise ValueError(f"{name} requires an xsd:dateTime literal argument")
+        # accessors return the literal's OWN field values (SPARQL
+        # §17.4.5): strip the timezone designator so the cast never
+        # shifts the fields into the session timezone
+        naive = F.regexp_replace(
+            terms.literal_value(c), r"(Z|[+-]\d{2}:\d{2})$", ""
+        )
+        ts = naive.try_cast("timestamp")
+        fn = {
+            "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+            "HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second,
+        }[name]
+        return fn(ts), "int"
+    if name == "TZ":
+        # timezone designator of the LEXICAL form ('' when absent) —
+        # a pure string function of the term, per SPARQL 1.1 §17.4.5.9
+        c, t = arg(0)
+        return F.regexp_extract(
+            terms.literal_value(c), r"(Z|[+-]\d{2}:\d{2})$", 1
+        ), "str"
+    if name == "NOW":
+        # one timestamp per query evaluation (Catalyst folds
+        # current_timestamp to a constant at plan time)
+        return (
+            F.concat(
+                F.lit('"'),
+                F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
+                F.lit(f'"^^<{XSD}dateTime>'),
+            ),
+            "term",
+        )
+    if name == "ENCODE_FOR_URI":
+        c, t = arg(0)
+        # url_encode is form-encoding (space→'+'); RFC 3986 percent-
+        # encoding wants %20
+        return F.replace(F.url_encode(_as_str(c, t)), F.lit("+"), F.lit("%20")), "str"
+    if name == "UUID":
+        return F.concat(F.lit("urn:uuid:"), F.expr("uuid()")), "term"
+    if name == "STRUUID":
+        return F.expr("uuid()"), "str"
+    if name == "RAND":
+        return F.rand(), "num"
     raise ValueError(f"unsupported builtin: {name}")
 
 
@@ -422,6 +494,10 @@ def _with_term_strs(kg: KnowledgeGraph, df: DataFrame, vars_: list[str]):
             raise ValueError(f"variable ?{v} is not bound in this scope")
         if dtypes[v] == "bigint" and _is_value_col(df, v):
             env[v] = (F.col(v), "num")
+        elif dtypes[v] == "boolean":
+            # EXISTS marker columns (nested-EXISTS rewrite) are plain
+            # booleans, not terms
+            env[v] = (F.col(v), "bool")
         elif dtypes[v] == "bigint":
             tmp = f"__s_{v}"
             uid_map = kg.term_uids.select(
@@ -452,8 +528,14 @@ def _push_filter_uid(kg: KnowledgeGraph, sols: DataFrame, e) -> DataFrame | None
     if _is_value_col(sols, v):
         return None  # plain numeric column, not a uid — filter in place
     # BOUND is a null test on the binding itself — term_uids rows are
-    # never null, so it must not be pushed to the vocabulary
-    if expr_has(e, lambda x: isinstance(x, Call) and x.name == "BOUND"):
+    # never null, so it must not be pushed to the vocabulary; COALESCE
+    # and IF can map an UNBOUND argument to a non-error value, so a
+    # semi join (which drops null-binding rows) would silently discard
+    # rows SPARQL keeps (ADVICE r3)
+    if expr_has(
+        e,
+        lambda x: isinstance(x, Call) and x.name in ("BOUND", "COALESCE", "IF"),
+    ):
         return None
     if expr_has(e, lambda x: isinstance(x, ExistsE)):
         return None
@@ -463,6 +545,50 @@ def _push_filter_uid(kg: KnowledgeGraph, sols: DataFrame, e) -> DataFrame | None
         return None
     matching = kg.term_uids.where(_as_bool(cond, tag)).select(F.col("uid").alias(v))
     return sols.join(matching, v, "left_semi")
+
+
+def _expr_map(e, fn):
+    """Rebuild an expression tree, replacing any node for which ``fn``
+    returns non-None (shared by the HAVING/ORDER-BY aggregate rewrite
+    and the nested-EXISTS marker rewrite)."""
+    out = fn(e)
+    if out is not None:
+        return out
+    if isinstance(e, Bin):
+        return Bin(e.op, _expr_map(e.left, fn), _expr_map(e.right, fn))
+    if isinstance(e, Un):
+        return Un(e.op, _expr_map(e.expr, fn))
+    if isinstance(e, Call):
+        return Call(
+            e.name,
+            tuple(a if isinstance(a, str) else _expr_map(a, fn) for a in e.args),
+        )
+    if isinstance(e, InE):
+        return InE(_expr_map(e.expr, fn), e.items, e.neg)
+    return e
+
+
+def _attach_exists_marker(
+    kg: KnowledgeGraph, df: DataFrame, name: str, ex: ExistsE, graph: str | None
+) -> DataFrame:
+    """EXISTS nested inside a general expression (``?a = 1 || EXISTS
+    {…}``) → a boolean marker column via a left join against the inner
+    group's distinct shared-variable rows, so it composes under
+    ``||``/``IF``/negation like any other boolean."""
+    inner = _compile(kg, ex.group, graph)
+    if inner is None:
+        raise ValueError("EXISTS over an empty group")
+    l, r, shared = _coerce_shared(kg, df, inner)
+    if not shared:
+        nonempty = not inner.limit(1).isEmpty()
+        val = (not nonempty) if ex.neg else nonempty
+        return l.withColumn(name, F.lit(val))
+    marked = r.select(*shared).dropDuplicates().withColumn(name, F.lit(True))
+    out = l.join(marked, shared, "left")
+    flag = F.coalesce(F.col(name), F.lit(False))
+    if ex.neg:
+        flag = ~flag
+    return out.withColumn(name, flag)
 
 
 def _apply_exists(
@@ -485,12 +611,33 @@ def _apply_exists(
 
 
 def _apply_filter(kg: KnowledgeGraph, df: DataFrame, e, graph: str | None) -> DataFrame:
-    # EXISTS / NOT EXISTS (possibly under a single negation)
+    # EXISTS / NOT EXISTS (possibly under a single negation): the
+    # direct semi/anti join — no marker column materialized
     if isinstance(e, ExistsE):
         return _apply_exists(kg, df, e, graph)
     if isinstance(e, Un) and e.op == "!" and isinstance(e.expr, ExistsE):
         flipped = ExistsE(e.expr.group, not e.expr.neg)
         return _apply_exists(kg, df, flipped, graph)
+    # EXISTS nested deeper in the expression → boolean marker columns
+    if expr_has(e, lambda x: isinstance(x, ExistsE)):
+        markers: list[tuple[str, ExistsE]] = []
+
+        def _mark(x):
+            if isinstance(x, ExistsE):
+                name = f"__ex{len(markers)}"
+                markers.append((name, x))
+                return VarE(name)
+            return None
+
+        e = _expr_map(e, _mark)
+        for name, ex in markers:
+            df = _attach_exists_marker(kg, df, name, ex, graph)
+        vs = sorted(expr_vars(e))
+        df2, env, temp = _with_term_strs(kg, df, vs)
+        cond, tag = _ex(e, env)
+        return df2.where(_as_bool(cond, tag)).drop(
+            *temp, *[name for name, _ in markers]
+        )
     pushed = _push_filter_uid(kg, df, e)
     if pushed is not None:
         return pushed
@@ -610,19 +757,43 @@ def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
             for f in node.filters:
                 r = _apply_filter(kg, r, f, graph)
             return r
-        # filters written inside OPTIONAL { … } scope to the right side
-        # of the left join (SPARQL LeftJoin expression); filters that
-        # reference outer variables are not expressible this way
-        for f in node.filters:
-            if not expr_vars(f) <= set(r.columns):
-                raise ValueError(
-                    "FILTER inside OPTIONAL referencing outer variables is unsupported"
-                )
+        # filters written inside OPTIONAL { … } whose variables are all
+        # bound by the right side scope to it directly; filters
+        # referencing OUTER variables are the SPARQL LeftJoin
+        # *condition* form (§18.5 LeftJoin(Ω1, Ω2, expr)) and evaluate
+        # over the joined solution
+        inner_f = [f for f in node.filters if expr_vars(f) <= set(r.columns)]
+        mixed_f = [f for f in node.filters if not expr_vars(f) <= set(r.columns)]
+        for f in inner_f:
             r = _apply_filter(kg, r, f, graph)
         l, r, shared = _coerce_shared(kg, l, r)
-        if shared:
-            return l.join(r, shared, "left")
-        return l.join(r, F.lit(True), "left")
+        if not mixed_f:
+            if shared:
+                return l.join(r, shared, "left")
+            return l.join(r, F.lit(True), "left")
+        # LeftJoin with condition: matched = Filter(expr, Join(l, r));
+        # left rows with NO surviving match re-enter null-padded (one
+        # inner join + one null-safe anti join — no driver loops)
+        j = l.join(r, shared, "inner") if shared else l.crossJoin(r)
+        for f in mixed_f:
+            j = _apply_filter(kg, j, f, graph)
+        keys = j.select(*l.columns).dropDuplicates()
+        la, ka = l.alias("__L"), keys.alias("__K")
+        cond = F.lit(True)
+        for c in l.columns:
+            # null-safe: an l row carrying nulls (nested OPTIONAL) must
+            # still match its own key row
+            cond = cond & F.col(f"__L.{c}").eqNullSafe(F.col(f"__K.{c}"))
+        unmatched = la.join(ka, cond, "left_anti").select(
+            *[F.col(f"__L.{c}").alias(c) for c in l.columns]
+        )
+        rtypes = dict(r.dtypes)
+        pad = [
+            F.lit(None).cast(rtypes[c]).alias(c)
+            for c in r.columns
+            if c not in l.columns
+        ]
+        return j.unionByName(unmatched.select("*", *pad))
 
     if isinstance(node, MinusNode):
         l = _compile(kg, node.left, graph)
@@ -764,6 +935,41 @@ def _env_for(df: DataFrame) -> dict:
     return env
 
 
+def _term_sort_cols(c: Column) -> list[Column]:
+    """SPARQL value ordering for a term-string column, as a sort-key
+    column list: term kind first (blank < IRI < literal, §15.1), then
+    numeric literals by VALUE ("9" before "10"), then the raw term
+    string (non-numeric literals, and a deterministic tiebreak among
+    value-equal lexical forms).  Unbound (NULL) sorts first via
+    Spark's default asc-nulls-first."""
+    rank = (
+        F.when(c.startswith('"'), F.lit(2))
+        .when(c.startswith("_"), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    return [rank, terms.numeric_value(c), c]
+
+
+def _apply_order(df: DataFrame, order_keys: list) -> DataFrame:
+    """ORDER BY with SPARQL value semantics; keys are var names or
+    expressions (aggregate-bearing expressions were already rewritten
+    to hidden columns)."""
+    if not order_keys:
+        return df
+    dtypes = dict(df.dtypes)
+    cols: list[Column] = []
+    for key, desc in order_keys:
+        if isinstance(key, str):
+            if key not in dtypes:
+                raise ValueError(f"ORDER BY variable ?{key} is not in scope")
+            parts = _term_sort_cols(F.col(key)) if dtypes[key] == "string" else [F.col(key)]
+        else:
+            c, tag = _ex(key, _env_for(df))
+            parts = _term_sort_cols(c) if tag == "term" else [c]
+        cols.extend(p.desc() if desc else p.asc() for p in parts)
+    return df.orderBy(*cols)
+
+
 def execute(kg: KnowledgeGraph, q: ParsedQuery) -> DataFrame:
     """Run a parsed query; returns solutions with *string* term columns
     (aggregate aliases stay numeric)."""
@@ -776,15 +982,32 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery) -> DataFrame:
     var_cols = list(sols.columns)
     decoded = kg.decode_vars(sols, var_cols)
 
-    # SELECT (expr AS ?alias) — non-aggregate computed projections
-    for alias, e in q.select_exprs:
-        env = _env_for(decoded)
-        col, tag = _ex(e, env)
-        decoded = decoded.withColumn(alias, _render_term(col, tag))
-
     hidden: list = []
     having_rw = [_rewrite_having(h, hidden) for h in q.having]
+    # ORDER BY keys containing aggregates (ORDER BY DESC(COUNT(?x)))
+    # share the HAVING hidden-aggregate rewrite
+    order_keys: list = []
+    for key, desc in q.order_by:
+        if not isinstance(key, str) and expr_has(
+            key, lambda x: isinstance(x, AggE)
+        ):
+            key = _rewrite_having(key, hidden)
+        order_keys.append((key, desc))
+
     if q.aggregates or q.group_by or hidden:
+        # GROUP BY conditions: plain vars group as-is; expressions
+        # ((expr) / (expr AS ?v) / STR(?x)) compute a grouping column
+        # first, rendered back to a term string
+        group_cols: list[str] = []
+        for i, g in enumerate(q.group_by):
+            if isinstance(g, str):
+                group_cols.append(g)
+            else:
+                alias, ge = g
+                name = alias or f"__grp{i}"
+                col, tag = _ex(ge, _env_for(decoded))
+                decoded = decoded.withColumn(name, _render_term(col, tag))
+                group_cols.append(name)
         aggs = []
         agg_env = _env_for(decoded)
         for a in list(q.aggregates) + hidden:
@@ -806,19 +1029,31 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery) -> DataFrame:
                 aggs.append(F.first(src).alias(a.alias))
                 continue
             if a.func == "group_concat":
-                aggs.append(
-                    F.concat_ws(a.sep, F.collect_list(_as_str(src, src_tag))).alias(
-                        a.alias
+                if a.distinct:
+                    # DISTINCT: collect_set is order-insensitive, so
+                    # sort for a deterministic rendering
+                    col = F.concat_ws(
+                        a.sep, F.sort_array(F.collect_set(_as_str(src, src_tag)))
                     )
-                )
+                else:
+                    col = F.concat_ws(a.sep, F.collect_list(_as_str(src, src_tag)))
+                aggs.append(col.alias(a.alias))
                 continue
             # numeric aggregates operate on the literal's lexical value
             # (try_cast: non-numeric terms aggregate as NULL, not abort)
             col = _as_num(src, src_tag)
             if a.func == "sum":
-                aggs.append(F.sum(col).alias(a.alias))
+                aggs.append(
+                    (F.sum_distinct(col) if a.distinct else F.sum(col)).alias(a.alias)
+                )
             elif a.func == "avg":
-                aggs.append(F.avg(col).alias(a.alias))
+                # no avg_distinct builtin: sum_distinct / count_distinct
+                avg_col = (
+                    F.sum_distinct(col) / F.countDistinct(col)
+                    if a.distinct
+                    else F.avg(col)
+                )
+                aggs.append(avg_col.alias(a.alias))
             elif a.func == "min":
                 aggs.append(F.min(col).alias(a.alias))
             elif a.func == "max":
@@ -826,33 +1061,54 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery) -> DataFrame:
         if not aggs:
             # GROUP BY with no aggregates = distinct group keys
             aggs.append(F.count(F.lit(1)).alias("__dummy"))
-        grouped = decoded.groupBy(*q.group_by) if q.group_by else decoded.groupBy()
+        grouped = decoded.groupBy(*group_cols) if group_cols else decoded.groupBy()
         decoded = grouped.agg(*aggs)
         for h in having_rw:
             cond, tag = _ex(h, _env_for(decoded))
             decoded = decoded.where(_as_bool(cond, tag))
-        proj = (q.variables or q.group_by) + [a.alias for a in q.aggregates]
-        decoded = decoded.select(*proj)
+        # SELECT (expr AS ?alias) under grouping evaluates over the
+        # grouped result — group keys and aggregate aliases in scope
+        # (SPARQL §18.2.4 Extend after Group; was silently dropped,
+        # ADVICE r3)
+        for alias, e in q.select_exprs:
+            col, tag = _ex(e, _env_for(decoded))
+            decoded = decoded.withColumn(alias, _render_term(col, tag))
+        proj = (
+            (q.variables or [c for c in group_cols if not c.startswith("__grp")])
+            + [a.alias for a in q.aggregates]
+            + [alias for alias, _ in q.select_exprs]
+        )
     else:
+        # SELECT (expr AS ?alias) — non-aggregate computed projections
+        for alias, e in q.select_exprs:
+            col, tag = _ex(e, _env_for(decoded))
+            decoded = decoded.withColumn(alias, _render_term(col, tag))
         if q.variables or q.select_exprs:
             proj = q.variables + [alias for alias, _ in q.select_exprs]
         else:
             # SELECT *: blank-node property lists compile to internal
             # __bnpl variables — not in-scope names, never projected
             proj = [c for c in var_cols if not c.startswith("__bnpl")] or var_cols
-        decoded = decoded.select(*proj)
 
     if q.distinct:
-        decoded = decoded.dropDuplicates()
-    if q.order_by:
-        decoded = decoded.orderBy(
-            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in q.order_by]
-        )
+        # DISTINCT applies to the projection; ORDER BY then runs over
+        # the projected columns (SPARQL requires order keys to be
+        # projected under DISTINCT)
+        decoded = decoded.select(*proj).dropDuplicates()
+        decoded = _apply_order(decoded, order_keys)
+        if q.offset:
+            decoded = decoded.offset(q.offset)
+        if q.limit is not None:
+            decoded = decoded.limit(q.limit)
+        return decoded
+    # ordering may reference hidden aggregate columns or non-projected
+    # vars, so it runs before the final projection
+    decoded = _apply_order(decoded, order_keys)
     if q.offset:
         decoded = decoded.offset(q.offset)
     if q.limit is not None:
         decoded = decoded.limit(q.limit)
-    return decoded
+    return decoded.select(*proj)
 
 
 def sparql_select(kg: KnowledgeGraph, query: str) -> DataFrame:

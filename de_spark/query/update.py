@@ -93,7 +93,36 @@ class UpdateParser(Parser):
             else:
                 self.parse_triples(quads.setdefault(None, []))
         self.expect_op("}")
-        return quads
+        return self._ground(quads)
+
+    def _ground(self, quads: dict[str | None, list]) -> dict[str | None, list]:
+        """QuadData must be GROUND (SPARQL 1.1 Update §3.1.1): variables
+        are a parse error; ``[ … ]`` property lists / ``( … )``
+        collections (which parse_triples compiles to ``?__bnplN``
+        placeholder variables in query position) become fresh
+        ``_:genidN`` blank-node labels, as the Turtle parser does."""
+        from de_spark.query.bgp import TriplePattern
+
+        bmap: dict[str, str] = {}
+
+        def fix(term: str) -> str:
+            if term.startswith("?__bnpl"):
+                if term not in bmap:
+                    bmap[term] = f"_:genid{len(bmap) + 1}"
+                return bmap[term]
+            if term.startswith("?"):
+                raise ValueError(
+                    f"INSERT DATA requires ground terms; found variable {term}"
+                )
+            return term
+
+        out: dict[str | None, list] = {}
+        for g, pats in quads.items():
+            for p in pats:
+                if p.is_path():
+                    raise ValueError("property paths are not allowed in INSERT DATA")
+            out[g] = [TriplePattern(fix(p.s), fix(p.p), fix(p.o)) for p in pats]
+        return out
 
     def _operation(self) -> UpdateOp:
         if self.at_word("INSERT"):

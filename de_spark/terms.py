@@ -52,6 +52,29 @@ def literal_lang(term: Column) -> Column:
     return F.regexp_extract(term, r'"@([A-Za-z0-9-]+)$', 1)
 
 
+XSD = "http://www.w3.org/2001/XMLSchema#"
+_NUMERIC_DTS = [
+    XSD + n
+    for n in (
+        "integer", "decimal", "double", "float", "long", "int", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger",
+        "negativeInteger", "positiveInteger", "unsignedLong",
+        "unsignedInt", "unsignedShort", "unsignedByte",
+    )
+]
+
+
+def numeric_value(term: Column) -> Column:
+    """Numeric VALUE of a literal with a numeric XSD datatype, else
+    NULL — the SPARQL 1.1 operator-mapping view of a term (two
+    lexically different integers, "1" and "01", compare equal by
+    value; the reference inherits this from oxigraph spareval)."""
+    return F.when(
+        literal_datatype(term).isin(_NUMERIC_DTS),
+        literal_value(term).try_cast("double"),
+    )
+
+
 def sparql_csv_form(term: Column) -> Column:
     """SPARQL-results-CSV rendering: IRIs bare, literals unquoted lexical
     form, bnodes as-is (matches sparesults CSV, asserted at

@@ -318,8 +318,15 @@ def test_negated_property_set(fruit_kg):
     q2 = EX + "SELECT ?o WHERE { ?s !a ?o . ?s ex:hasShape ?o }"
     rows = sorted(r["o"] for r in sparql_select(fruit_kg, q2).collect())
     assert rows == ['"curved"', '"oblong"']
-    with pytest.raises(ValueError, match="inverse members"):
-        parse_sparql("SELECT ?s WHERE { ?s !(^<http://x/p>) ?o }")
+    # inverse members ^iri match REVERSE edges whose predicate is
+    # outside the inverse subset; mixed sets union both directions
+    # (SPARQL 1.1 §9.1 PathNegatedPropertySet translation)
+    q3 = EX + "SELECT ?s ?o WHERE { ?s !(^a) ?o }"
+    assert sparql_select(fruit_kg, q3).count() == 20
+    q4 = EX + "SELECT ?o WHERE { ex:TropicalClimate !(^ex:hasVitamin) ?o } ORDER BY ?o"
+    assert names(sparql_select(fruit_kg, q4), "o") == ["Banana", "Pineapple"]
+    q5 = EX + "SELECT ?s ?o WHERE { ?s !(a|^a) ?o }"
+    assert sparql_select(fruit_kg, q5).count() == 40
 
 
 def test_values_undef_partial_rows(fruit_kg):
@@ -342,15 +349,24 @@ def test_loud_rejections():
         parse_sparql("SELECT ?s WHERE { SERVICE <http://x> { ?s ?p ?o } }")
 
 
-def test_outer_var_filter_in_optional_rejected(fruit_kg):
+def test_outer_var_filter_in_optional_leftjoin(fruit_kg):
+    """FILTER inside OPTIONAL referencing OUTER variables is the
+    SPARQL LeftJoin *condition* form (§18.5): the expression evaluates
+    over the joined solution; left rows whose matches all fail the
+    condition survive null-padded."""
     q = EX + """
-    SELECT ?f WHERE {
+    SELECT ?f ?s WHERE {
       ?f ex:hasTaste ?t .
-      OPTIONAL { ?f ex:hasShape ?s FILTER(?t = "sweet") }
-    }
+      OPTIONAL { ?f ex:hasShape ?s FILTER(?t = "sweet" && ?s != "curved") }
+    } ORDER BY ?f
     """
-    with pytest.raises(ValueError, match="outer variables"):
-        sparql_select(fruit_kg, q).collect()
+    rows = [
+        (r["f"].rsplit("/", 1)[1], r["s"])
+        for r in sparql_select(fruit_kg, q).collect()
+    ]
+    # Banana's only shape is "curved" → condition fails → null-padded;
+    # Pineapple's "oblong" passes
+    assert rows == [("Banana", None), ("Pineapple", '"oblong"')]
 
 
 def test_collection_in_query_pattern(spark, tmp_path):

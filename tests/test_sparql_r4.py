@@ -1,0 +1,294 @@
+"""Round-4 SPARQL semantics: value-based comparison/ordering, seeded
+property-path closures, LeftJoin conditions, expression ORDER/GROUP
+BY, nested EXISTS, DISTINCT aggregates, datetime builtins.
+
+Reference semantics throughout: oxigraph spareval (src/sparql.rs:520)
+— SPARQL 1.1 operator mapping (§17.3), ORDER BY (§15.1),
+ArbitraryLengthPath per-node evaluation, LeftJoin with expression
+(§18.5)."""
+
+import pytest
+
+import de_spark.query.bgp as bgp_mod
+from de_spark.pipeline import build
+from de_spark.query import sparql_select
+from de_spark.query.update import parse_update
+from de_spark.sources.nt import triples_from_nt_text
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+NT = f"""\
+<http://x/s1> <http://x/val> "9"^^<{XSD}integer> .
+<http://x/s2> <http://x/val> "10"^^<{XSD}integer> .
+<http://x/s3> <http://x/val> "01"^^<{XSD}integer> .
+<http://x/s4> <http://x/val> "2"^^<{XSD}integer> .
+<http://x/s5> <http://x/val> "02"^^<{XSD}integer> .
+<http://x/s1> <http://x/kind> <http://x/A> .
+<http://x/s2> <http://x/kind> <http://x/A> .
+<http://x/s3> <http://x/kind> <http://x/B> .
+<http://x/s4> <http://x/kind> <http://x/B> .
+<http://x/s5> <http://x/kind> <http://x/B> .
+<http://x/s1> <http://x/when> "2024-03-05T10:20:30Z"^^<{XSD}dateTime> .
+<http://x/s2> <http://x/when> "2023-12-31T23:59:58+02:00"^^<{XSD}dateTime> .
+<http://x/e1> <http://x/next> <http://x/e2> .
+<http://x/e2> <http://x/next> <http://x/e3> .
+<http://x/e3> <http://x/next> <http://x/e4> .
+<http://x/f1> <http://x/next> <http://x/f2> .
+"""
+
+PX = "PREFIX x: <http://x/>\n"
+
+
+@pytest.fixture(scope="module")
+def kg(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("r4_kg"))
+    kg, _ = build(triples_from_nt_text(spark, NT, "file:///r4.nt"), out)
+    return kg
+
+
+def locals_(df, col):
+    return [r[col].rsplit("/", 1)[1] for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# value semantics (VERDICT r3 missing #1 / ADVICE #1)
+# ---------------------------------------------------------------------------
+
+
+def test_numeric_value_equality(kg):
+    # "01"^^xsd:integer equals the VALUE 1, not the lexical form
+    q = PX + f'SELECT ?s WHERE {{ ?s x:val ?v . FILTER(?v = "1"^^<{XSD}integer>) }}'
+    assert locals_(sparql_select(kg, q), "s") == ["s3"]
+    # > is numeric for numeric literals: 10 > 9 (lexicographically "10" < "9")
+    q2 = PX + f'SELECT ?s WHERE {{ ?s x:val ?v . FILTER(?v > "9"^^<{XSD}integer>) }}'
+    assert locals_(sparql_select(kg, q2), "s") == ["s2"]
+    # var-var equality by value: "2" and "02" are the same integer
+    q3 = PX + """
+    SELECT ?a ?b WHERE {
+      ?a x:val ?v1 . ?b x:val ?v2 . FILTER(?v1 = ?v2 && ?a < ?b)
+    } ORDER BY ?a
+    """
+    rows = [(r["a"].rsplit("/", 1)[1], r["b"].rsplit("/", 1)[1])
+            for r in sparql_select(kg, q3).collect()]
+    assert rows == [("s4", "s5")]
+    # equality of non-numeric terms stays raw-term identity
+    q4 = PX + 'SELECT ?s WHERE { ?s x:kind ?k . FILTER(?k = x:A) } ORDER BY ?s'
+    assert locals_(sparql_select(kg, q4), "s") == ["s1", "s2"]
+
+
+def test_order_by_numeric_value(kg):
+    # ORDER BY sorts numeric literals by VALUE: 1, 2, 2, 9, 10
+    # (value ties break on the raw term string: "02" < "2")
+    q = PX + "SELECT ?s ?v WHERE { ?s x:val ?v } ORDER BY ?v ?s"
+    assert locals_(sparql_select(kg, q), "s") == ["s3", "s5", "s4", "s1", "s2"]
+    q2 = PX + "SELECT ?s WHERE { ?s x:val ?v } ORDER BY DESC(?v) ?s LIMIT 2"
+    assert locals_(sparql_select(kg, q2), "s") == ["s2", "s1"]
+
+
+def test_isnumeric(kg):
+    q = PX + """
+    SELECT ?s WHERE { ?s x:val ?v . FILTER(ISNUMERIC(?v)) } ORDER BY ?s
+    """
+    assert len(sparql_select(kg, q).collect()) == 5
+    q2 = PX + "SELECT ?s WHERE { ?s x:kind ?k . FILTER(ISNUMERIC(?k)) }"
+    assert sparql_select(kg, q2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# expression ORDER BY / GROUP BY (VERDICT r3 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_order_by_aggregate(kg):
+    q = PX + """
+    SELECT ?k (COUNT(?s) AS ?n) WHERE { ?s x:kind ?k }
+    GROUP BY ?k ORDER BY DESC(COUNT(?s)) ?k
+    """
+    rows = [(r["k"], r["n"]) for r in sparql_select(kg, q).collect()]
+    assert rows == [("http://x/B", 3), ("http://x/A", 2)]
+
+
+def test_order_by_expression(kg):
+    # ORDER BY on a computed key (numeric expression over a literal)
+    q = PX + "SELECT ?s WHERE { ?s x:val ?v } ORDER BY DESC(?v * 2 - ?v) ?s LIMIT 2"
+    assert locals_(sparql_select(kg, q), "s") == ["s2", "s1"]
+    # builtin-call key
+    q2 = PX + "SELECT ?k WHERE { ?s x:kind ?k } GROUP BY ?k ORDER BY STR(?k)"
+    assert locals_(sparql_select(kg, q2), "k") == ["A", "B"]
+
+
+def test_group_by_expression(kg):
+    q = PX + """
+    SELECT ?kk (COUNT(?s) AS ?n) WHERE { ?s x:kind ?k }
+    GROUP BY (STRAFTER(STR(?k), "http://x/") AS ?kk) ORDER BY ?kk
+    """
+    rows = [(r["kk"], r["n"]) for r in sparql_select(kg, q).collect()]
+    assert rows == [('"A"', 2), ('"B"', 3)]
+
+
+def test_select_expr_with_group_by(kg):
+    # ADVICE r3: computed projections must survive the aggregate branch
+    # (evaluated over the grouped result, aggregate aliases in scope)
+    q = PX + """
+    SELECT ?k (COUNT(?s) AS ?n) ((?n * 10) AS ?n10)
+    WHERE { ?s x:kind ?k } GROUP BY ?k ORDER BY ?k
+    """
+    rows = [(r["k"], r["n"], r["n10"]) for r in sparql_select(kg, q).collect()]
+    assert rows == [
+        ("http://x/A", 2, f'"20.0"^^<{XSD}double>'),
+        ("http://x/B", 3, f'"30.0"^^<{XSD}double>'),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT aggregates (ADVICE r3 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_aggregates(kg):
+    q = PX + """
+    SELECT (SUM(?v) AS ?t) (SUM(DISTINCT ?v) AS ?td) (AVG(DISTINCT ?v) AS ?ad)
+    WHERE { ?s x:val ?v }
+    """
+    r = sparql_select(kg, q).collect()[0]
+    assert (r["t"], r["td"], r["ad"]) == (24.0, 22.0, 5.5)
+    q2 = PX + """
+    SELECT (GROUP_CONCAT(DISTINCT ?k ; SEPARATOR=",") AS ?ks)
+    WHERE { ?s x:kind ?k }
+    """
+    assert sparql_select(kg, q2).collect()[0]["ks"] == "http://x/A,http://x/B"
+
+
+# ---------------------------------------------------------------------------
+# nested EXISTS (VERDICT r3 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_exists_in_or(kg):
+    q = PX + f"""
+    SELECT ?s WHERE {{
+      ?s x:val ?v .
+      FILTER(?v > "9"^^<{XSD}integer> || EXISTS {{ ?s x:when ?w }})
+    }} ORDER BY ?s
+    """
+    assert locals_(sparql_select(kg, q), "s") == ["s1", "s2"]
+    # NOT EXISTS under IF, composed with an aggregate-free projection
+    q2 = PX + """
+    SELECT ?s WHERE {
+      ?s x:val ?v .
+      FILTER(IF(EXISTS { ?s x:when ?w }, false, true))
+    } ORDER BY ?s
+    """
+    assert locals_(sparql_select(kg, q2), "s") == ["s3", "s4", "s5"]
+
+
+# ---------------------------------------------------------------------------
+# null-tolerant filters must not push to uid space (ADVICE r3 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_coalesce_filter_keeps_unbound(kg):
+    q = PX + """
+    SELECT ?s WHERE {
+      ?s x:val ?v .
+      OPTIONAL { ?s x:when ?w }
+      FILTER(COALESCE(STR(?w), "none") = "none")
+    } ORDER BY ?s
+    """
+    assert locals_(sparql_select(kg, q), "s") == ["s3", "s4", "s5"]
+
+
+# ---------------------------------------------------------------------------
+# datetime builtins (VERDICT r3 item 8)
+# ---------------------------------------------------------------------------
+
+
+def test_datetime_builtins(kg):
+    q = PX + """
+    SELECT ?y ?mo ?d ?h ?mi ?sec ?tz WHERE {
+      x:s1 x:when ?w .
+      BIND(YEAR(?w) AS ?y) BIND(MONTH(?w) AS ?mo) BIND(DAY(?w) AS ?d)
+      BIND(HOURS(?w) AS ?h) BIND(MINUTES(?w) AS ?mi) BIND(SECONDS(?w) AS ?sec)
+      BIND(TZ(?w) AS ?tz)
+    }
+    """
+    r = sparql_select(kg, q).collect()[0]
+    vals = [r[c] for c in ("y", "mo", "d", "h", "mi", "sec")]
+    assert vals == [
+        f'"{v}"^^<{XSD}integer>' for v in (2024, 3, 5, 10, 20, 30)
+    ]
+    assert r["tz"] == '"Z"'
+    # field values come from the literal's own lexical form, never
+    # shifted into the session timezone
+    q2 = PX + "SELECT ?h ?tz WHERE { x:s2 x:when ?w . BIND(HOURS(?w) AS ?h) BIND(TZ(?w) AS ?tz) }"
+    r2 = sparql_select(kg, q2).collect()[0]
+    assert r2["h"] == f'"23"^^<{XSD}integer>'
+    assert r2["tz"] == '"+02:00"'
+    # filter through a datetime accessor
+    q3 = PX + "SELECT ?s WHERE { ?s x:when ?w . FILTER(YEAR(?w) = 2024) }"
+    assert locals_(sparql_select(kg, q3), "s") == ["s1"]
+
+
+# ---------------------------------------------------------------------------
+# seeded property-path closures (VERDICT r3 "do this" #1)
+# ---------------------------------------------------------------------------
+
+
+def test_bound_path_seeded_no_global_closure(kg, monkeypatch):
+    """A bound-endpoint +/* path must run the SEEDED semi-naive
+    reachability, never the full-relation transitive closure."""
+
+    def _boom(pairs):
+        raise AssertionError("global closure invoked for a bound-endpoint path")
+
+    monkeypatch.setattr(bgp_mod, "_transitive_closure", _boom)
+    q = PX + "SELECT ?y WHERE { x:e1 x:next+ ?y } ORDER BY ?y"
+    assert locals_(sparql_select(kg, q), "y") == ["e2", "e3", "e4"]
+    q2 = PX + "SELECT ?x WHERE { ?x x:next+ x:e3 } ORDER BY ?x"
+    assert locals_(sparql_select(kg, q2), "x") == ["e1", "e2"]
+    q3 = PX + "SELECT ?y WHERE { x:e1 x:next* ?y } ORDER BY ?y"
+    assert locals_(sparql_select(kg, q3), "y") == ["e1", "e2", "e3", "e4"]
+    # a closure inside a seeded sequence stays seeded too
+    q4 = PX + "SELECT ?y WHERE { x:e1 x:next/x:next+ ?y } ORDER BY ?y"
+    assert locals_(sparql_select(kg, q4), "y") == ["e3", "e4"]
+    # both endpoints bound
+    q5 = PX + "ASK { x:e1 x:next+ x:e4 }"
+    assert sparql_select(kg, q5).collect()[0]["bool"] is True
+
+
+def test_var_var_closure_still_global(kg):
+    q = PX + "SELECT ?x ?y WHERE { ?x x:next+ ?y }"
+    assert sparql_select(kg, q).count() == 3 + 2 + 1 + 1  # e-chain pairs + f-edge
+
+
+def test_closure_releases_caches(kg, spark):
+    """Closure iterations must not leave persisted frames behind
+    (VERDICT r3 item 6): after the query, the only storage added is
+    the (ContextCleaner-managed) localCheckpoint of the result."""
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    q = PX + "SELECT ?x ?y WHERE { ?x x:next+ ?y }"
+    assert sparql_select(kg, q).count() == 7
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1
+
+
+# ---------------------------------------------------------------------------
+# INSERT DATA groundness (ADVICE r3 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_insert_data_ground_terms():
+    ops = parse_update(
+        'INSERT DATA { GRAPH <http://g/n> { '
+        '<http://x/a> <http://x/p> [ <http://x/q> "v" ] . } }'
+    )
+    pats = ops[0].quads["http://g/n"]
+    # the [ … ] property list became a fresh blank node, not a
+    # ?__bnpl placeholder variable
+    assert {p.s for p in pats} == {"http://x/a", "_:genid1"}
+    assert all(not t.startswith("?") for p in pats for t in (p.s, p.p, p.o))
+    with pytest.raises(ValueError, match="ground"):
+        parse_update(
+            "INSERT DATA { GRAPH <http://g/n> { ?s <http://x/p> <http://x/o> } }"
+        )
