@@ -107,25 +107,42 @@ def _finish_closure(total: DataFrame, cached: list[DataFrame]) -> DataFrame:
     return out
 
 
+def _has_g(pairs: DataFrame) -> bool:
+    return "g" in pairs.columns
+
+
+def _step_join(l: DataFrame, r: DataFrame) -> DataFrame:
+    """Compose two pair relations: l.b = r.a (and same graph when a
+    GRAPH ?var column rides along — paths never cross named graphs)."""
+    cond = F.col("l.b") == F.col("r.a")
+    sel = [F.col("l.a").alias("a"), F.col("r.b").alias("b")]
+    if _has_g(l):
+        cond = cond & (F.col("l.g") == F.col("r.g"))
+        sel.append(F.col("l.g").alias("g"))
+    return l.alias("l").join(r.alias("r"), cond).select(*sel)
+
+
+def _pair_keys(pairs: DataFrame) -> list[str]:
+    return ["a", "b", "g"] if _has_g(pairs) else ["a", "b"]
+
+
 def _transitive_closure(pairs: DataFrame) -> DataFrame:
     """One-or-more closure via semi-naive iteration: each round joins
     only the NEW frontier against the base relation, dedups against
     everything seen, and stops when the frontier drains.  Both sides
     stay uid-typed longs; each round is one hash join + one anti join
     (the standard distributed Datalog evaluation — no driver-side
-    row movement, only an emptiness probe per round)."""
+    row movement, only an emptiness probe per round).  A GRAPH ?var
+    column, when present, joins along so each named graph closes
+    independently."""
     base = pairs.dropDuplicates().persist()
+    keys = _pair_keys(base)
     cached = [base]
     total = base
     frontier = base
     for _ in range(_CLOSURE_MAX_ITERS):
-        nxt = (
-            frontier.alias("f")
-            .join(base.alias("p"), F.col("f.b") == F.col("p.a"))
-            .select(F.col("f.a").alias("a"), F.col("p.b").alias("b"))
-            .dropDuplicates()
-        )
-        new = nxt.join(total, ["a", "b"], "left_anti").persist()
+        nxt = _step_join(frontier, base).dropDuplicates()
+        new = nxt.join(total, keys, "left_anti").persist()
         cached.append(new)
         if new.isEmpty():
             break
@@ -145,21 +162,18 @@ def _seeded_closure(step_fn, seeds: DataFrame) -> DataFrame:
     never computed, matching spareval's per-node ArbitraryLengthPath
     evaluation (src/sparql.rs:520) at distributed scale.
 
-    ``step_fn(nodes)`` must return the (a, b) step pairs whose ``a``
-    is restricted to ``nodes`` (a one-column 'n' frame)."""
+    ``step_fn(nodes)`` must return the step pairs whose ``a`` is
+    restricted to ``nodes`` (a one-column 'n' frame); a GRAPH ?var 'g'
+    column rides along and keeps expansion within each graph."""
     frontier = step_fn(seeds).dropDuplicates().persist()
+    keys = _pair_keys(frontier)
     cached = [frontier]
     total = frontier
     for _ in range(_CLOSURE_MAX_ITERS):
         nodes = frontier.select(F.col("b").alias("n")).dropDuplicates()
         steps = step_fn(nodes)
-        nxt = (
-            frontier.alias("f")
-            .join(steps.alias("s"), F.col("f.b") == F.col("s.a"))
-            .select(F.col("f.a").alias("a"), F.col("s.b").alias("b"))
-            .dropDuplicates()
-        )
-        new = nxt.join(total, ["a", "b"], "left_anti").persist()
+        nxt = _step_join(frontier, steps).dropDuplicates()
+        new = nxt.join(total, keys, "left_anti").persist()
         cached.append(new)
         if new.isEmpty():
             break
@@ -172,7 +186,10 @@ def _seeded_closure(step_fn, seeds: DataFrame) -> DataFrame:
 
 
 def _swap(pairs: DataFrame) -> DataFrame:
-    return pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    sel = [F.col("b").alias("a"), F.col("a").alias("b")]
+    if _has_g(pairs):
+        sel.append(F.col("g"))
+    return pairs.select(*sel)
 
 
 def _seed_filter(pairs: DataFrame, col: str, seeds: DataFrame) -> DataFrame:
@@ -189,16 +206,27 @@ def _graph_nodes(
     """All graph terms (subject or object occurrences) as identity
     pairs (n, n) — the zero-length component of ``*``/``?`` paths
     (SPARQL 1.1 ArbitraryLengthPath includes the zero-step match).
-    With a seed set, only the seeded nodes' identity rows."""
-    t = kg.triples if graph is None else kg.triples.where(F.col("graph") == graph)
+    With a seed set, only the seeded nodes' identity rows.  Under
+    GRAPH ?var the identity rows carry their graph name, scoped per
+    graph."""
+    graph_var = graph is not None and graph.startswith("?")
+    t = (
+        kg.triples
+        if graph is None or graph_var
+        else kg.triples.where(F.col("graph") == graph)
+    )
+    gcols = [F.col("graph")] if graph_var else []
     nodes = (
-        t.select(F.col("s_id").alias("n"))
-        .unionByName(t.select(F.col("o_id").alias("n")))
+        t.select(F.col("s_id").alias("n"), *gcols)
+        .unionByName(t.select(F.col("o_id").alias("n"), *gcols))
         .dropDuplicates()
     )
     if seed is not None:
         nodes = nodes.join(seed.select("n").dropDuplicates(), "n", "left_semi")
-    return nodes.select(F.col("n").alias("a"), F.col("n").alias("b"))
+    out = [F.col("n").alias("a"), F.col("n").alias("b")]
+    if graph_var:
+        out.append(F.col("graph").alias("g"))
+    return nodes.select(*out)
 
 
 def _nodes_of(pairs: DataFrame, col: str) -> DataFrame:
@@ -238,11 +266,7 @@ def _path_pairs(
             out = _path_pairs(kg, seq[0], graph, seed_a=seed_a)
             for step in seq[1:]:
                 nxt = _path_pairs(kg, step, graph, seed_a=_nodes_of(out, "b"))
-                out = (
-                    out.alias("l")
-                    .join(nxt.alias("r"), F.col("l.b") == F.col("r.a"))
-                    .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
-                )
+                out = _step_join(out, nxt)
             if seed_b is not None:
                 out = _seed_filter(out, "b", seed_b)
             return out
@@ -251,20 +275,12 @@ def _path_pairs(
             out = _path_pairs(kg, seq[-1], graph, seed_b=seed_b)
             for step in reversed(seq[:-1]):
                 prv = _path_pairs(kg, step, graph, seed_b=_nodes_of(out, "a"))
-                out = (
-                    prv.alias("l")
-                    .join(out.alias("r"), F.col("l.b") == F.col("r.a"))
-                    .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
-                )
+                out = _step_join(prv, out)
             return out
         out = _path_pairs(kg, seq[0], graph)
         for step in seq[1:]:
             nxt = _path_pairs(kg, step, graph)
-            out = (
-                out.alias("l")
-                .join(nxt.alias("r"), F.col("l.b") == F.col("r.a"))
-                .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
-            )
+            out = _step_join(out, nxt)
         return out
     # atom: [^] ( <iri> | (expr) | !(...) ) [+*?]
     inv = expr.startswith("^")
@@ -298,17 +314,24 @@ def _path_pairs(
         atom_iri = m.group(2)
         atom_kind = "iri"
 
+    graph_var = graph is not None and graph.startswith("?")
+
     def _nps_side(iris: list[str], swap: bool, sa, sb) -> DataFrame:
         """One direction of a negated property set: anti join of the
         (graph-pruned) fact table against the tiny excluded-uid list
         (SPARQL 1.1 PathNegatedPropertySet); inverse members swap."""
-        t = kg.triples if graph is None else kg.triples.where(F.col("graph") == graph)
+        t = (
+            kg.triples
+            if graph is None or graph_var
+            else kg.triples.where(F.col("graph") == graph)
+        )
         excluded = kg.term_uids.where(F.col("term").isin(iris)).select(
             F.col("uid").alias("p_id")
         )
-        p = t.join(F.broadcast(excluded), "p_id", "left_anti").select(
-            F.col("s_id").alias("a"), F.col("o_id").alias("b")
-        )
+        sel = [F.col("s_id").alias("a"), F.col("o_id").alias("b")]
+        if graph_var:
+            sel.append(F.col("graph").alias("g"))
+        p = t.join(F.broadcast(excluded), "p_id", "left_anti").select(*sel)
         if swap:
             p = _swap(p)
         if sa is not None:
@@ -337,9 +360,12 @@ def _path_pairs(
         elif atom_kind == "paren":
             p = _path_pairs(kg, expr[1:-1], graph, seed_a=sa, seed_b=sb)
         else:
-            p = kg.pattern(p=atom_iri, graph=graph).select(
-                F.col("s_id").alias("a"), F.col("o_id").alias("b")
-            )
+            sel = [F.col("s_id").alias("a"), F.col("o_id").alias("b")]
+            if graph_var:
+                sel.append(F.col("graph").alias("g"))
+            p = kg.pattern(
+                p=atom_iri, graph=None if graph_var else graph
+            ).select(*sel)
             if sa is not None:
                 p = _seed_filter(p, "a", sa)
             if sb is not None:
@@ -380,9 +406,10 @@ def _compile_path(kg: KnowledgeGraph, pat: TriplePattern) -> DataFrame:
     """Path pattern → DataFrame of the pattern's variable columns.
     Bound endpoints become SEEDS pushed into the path evaluation (a
     constant subject/object restricts every step and seeds closures),
-    not a post-hoc filter over the full relation."""
-    if pat.graph is not None and pat.graph.startswith("?"):
-        raise ValueError("GRAPH ?var over a property path is unsupported")
+    not a post-hoc filter over the full relation.  GRAPH ?var threads
+    a graph-name column through every step and closure (paths never
+    cross named graphs; the var binds the graph NAME string, like the
+    plain-pattern F2 form)."""
 
     def _seed_uids(term: str) -> DataFrame:
         return kg.term_uids.where(F.col("term") == term).select(
@@ -393,6 +420,8 @@ def _compile_path(kg: KnowledgeGraph, pat: TriplePattern) -> DataFrame:
     seed_b = None if pat.o.startswith("?") else _seed_uids(pat.o)
     pairs = _path_pairs(kg, pat.p[len("path:"):], pat.graph, seed_a, seed_b)
     cols = []
+    if pat.graph is not None and pat.graph.startswith("?"):
+        cols.append(F.col("g").alias(pat.graph[1:]))
     if pat.s.startswith("?"):
         cols.append(F.col("a").alias(pat.s[1:]))
     if pat.o.startswith("?"):

@@ -874,13 +874,11 @@ def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
 
     if isinstance(node, SubQueryNode):
         # subqueries evaluate bottom-up with their own projection and
-        # modifiers (SPARQL 1.1 §12); the result carries decoded term
-        # strings (and numeric aggregate aliases), so a shared variable
-        # joining an outer uid column decodes the outer side via
-        # _coerce_shared
-        if graph is not None:
-            raise ValueError("subqueries inside GRAPH blocks are unsupported")
-        df = execute(kg, node.query)
+        # modifiers (SPARQL 1.1 §12), inheriting an enclosing GRAPH
+        # scope; the result carries decoded term strings (and numeric
+        # aggregate aliases), so a shared variable joining an outer
+        # uid column decodes the outer side via _coerce_shared
+        df = execute(kg, node.query, graph=graph)
         # tag numeric result columns (aggregate aliases) so the outer
         # decode pass does not mistake them for term uids
         return df.select(
@@ -970,12 +968,13 @@ def _apply_order(df: DataFrame, order_keys: list) -> DataFrame:
     return df.orderBy(*cols)
 
 
-def execute(kg: KnowledgeGraph, q: ParsedQuery) -> DataFrame:
+def execute(kg: KnowledgeGraph, q: ParsedQuery, graph: str | None = None) -> DataFrame:
     """Run a parsed query; returns solutions with *string* term columns
-    (aggregate aliases stay numeric)."""
+    (aggregate aliases stay numeric).  ``graph`` carries an enclosing
+    GRAPH scope into a subquery's pattern compilation."""
     if q.algebra is None:
         raise ValueError("query has no WHERE clause")
-    sols = _compile(kg, q.algebra, None)
+    sols = _compile(kg, q.algebra, graph)
     if sols is None:
         raise ValueError("empty WHERE group")
 
