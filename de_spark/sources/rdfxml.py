@@ -15,17 +15,22 @@ subset ontologies actually ship with:
   ``rdf:datatype`` or ``xml:lang``.
 
 - ``rdf:parseType="Resource"`` (nested bnode whose property elements
-  are the element's children) and ``rdf:parseType="Collection"``
-  (rdf:first/rdf:rest chain over the child node elements).
+  are the element's children), ``rdf:parseType="Collection"``
+  (rdf:first/rdf:rest chain over the child node elements), and
+  ``rdf:parseType="Literal"`` (inner XML serialized verbatim as an
+  ``rdf:XMLLiteral`` — exact for already-canonical content);
+- relative ``rdf:about``/``rdf:resource`` IRIs resolve against
+  ``xml:base`` / the supplied base (RFC 3986).
 
-``rdf:parseType="Literal"`` and reification are outside the subset and
-rejected loudly.  Parsing runs inside ``mapInPandas`` over whole-file rows
+Reification (``rdf:ID`` on property elements) is outside the subset.
+Parsing runs inside ``mapInPandas`` over whole-file rows
 (one file = one row; many files parse in parallel across tasks — same
 batching contract as the Turtle converter).
 """
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 
@@ -54,12 +59,22 @@ def _tag_iri(tag: str) -> str:
     return tag
 
 
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
 def parse_rdfxml(text: str, base: str = "") -> list[tuple[str, str, str]]:
     """Parse an RDF/XML-subset document into HDT-convention triples."""
     root = ET.fromstring(text)
     base = root.get(f"{{{XML_NS}}}base", base)
     triples: list[tuple[str, str, str]] = []
     bnode_counter = [0]
+
+    def abs_iri(iri: str) -> str:
+        if _SCHEME_RE.match(iri) or not base:
+            return iri
+        from urllib.parse import urljoin
+
+        return urljoin(base, iri)
 
     def fresh_bnode() -> str:
         bnode_counter[0] += 1
@@ -68,7 +83,7 @@ def parse_rdfxml(text: str, base: str = "") -> list[tuple[str, str, str]]:
     def subject_of(elem: ET.Element) -> str:
         about = elem.get(f"{{{RDF_NS}}}about")
         if about is not None:
-            return about
+            return abs_iri(about)
         rid = elem.get(f"{{{RDF_NS}}}ID")
         if rid is not None:
             return f"{base}#{rid}"
@@ -98,6 +113,19 @@ def parse_rdfxml(text: str, base: str = "") -> list[tuple[str, str, str]]:
                     triples.append((node, RDF_NS + "rest", nxt))
                     node = nxt
                 continue
+            if pt == "Literal":
+                # XML content becomes one rdf:XMLLiteral: leading text +
+                # each child element serialized (child.tail rides along
+                # in ElementTree's tostring).  oxrdfio emits the
+                # exclusive-canonical form; this verbatim serialization
+                # matches it for already-canonical content (the common
+                # case in shipped ontologies) and is documented as such.
+                parts = [prop.text or ""]
+                for child in prop:
+                    parts.append(ET.tostring(child, encoding="unicode"))
+                lit = '"' + _escape_nt("".join(parts)) + f'"^^<{RDF_NS}XMLLiteral>'
+                triples.append((subj, p, lit))
+                continue
             if pt is not None:
                 raise ValueError(
                     f"rdf:parseType={pt!r} is outside the supported RDF/XML subset"
@@ -108,7 +136,7 @@ def parse_rdfxml(text: str, base: str = "") -> list[tuple[str, str, str]]:
             lang = prop.get(f"{{{XML_NS}}}lang")
             children = list(prop)
             if res is not None:
-                triples.append((subj, p, res))
+                triples.append((subj, p, abs_iri(res)))
             elif nid is not None:
                 triples.append((subj, p, f"_:{nid}"))
             elif children:

@@ -8,10 +8,11 @@ the constructs real-world ontologies use constantly (VERDICT r2 item
 lists, quoted literals with ``^^``/``@lang``, bare
 booleans/integers/decimals, **blank-node property lists ``[ … ]``**
 (fresh deterministic ``_:genidN`` labels), **collections ``( … )``**
-(rdf:first/rdf:rest chains, ``()`` = rdf:nil), and **long / single-
+(rdf:first/rdf:rest chains, ``()`` = rdf:nil), **long / single-
 quoted literals** (``\"\"\"…\"\"\"``, ``'''…'''``, ``'…'`` — lexical
 forms normalized to NT escaping so the term strings match what
-oxigraph's NT re-serialization produces).
+oxigraph's NT re-serialization produces), and **@base / BASE / PREFIX
+directives with RFC 3986 relative-IRI resolution** (Turtle 1.1 §6.3).
 
 Parsing runs inside ``mapInPandas`` over (path, content) rows — one
 file is one row, many files parse in parallel across tasks, and the
@@ -80,6 +81,9 @@ def _normalize_lexical(body: str, quote: str) -> str:
     return terms.escape_nt_py(terms.unescape_nt_py(body))
 
 
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
 class _TurtleParser:
     def __init__(self, text: str):
         self.toks: list[tuple[str, str]] = []
@@ -89,9 +93,19 @@ class _TurtleParser:
             self.toks.append((m.lastgroup, m.group()))
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
         self.triples: list[tuple[str, str, str]] = []
         self.had_graphs = False
         self._gen = 0
+
+    def _abs_iri(self, iri: str) -> str:
+        """Resolve a (possibly relative) IRI against @base / BASE per
+        RFC 3986 (Turtle 1.1 §6.3); absolute IRIs pass through."""
+        if _SCHEME.match(iri) or self.base is None:
+            return iri
+        from urllib.parse import urljoin
+
+        return urljoin(self.base, iri)
 
     # -- helpers --------------------------------------------------------------
 
@@ -116,7 +130,7 @@ class _TurtleParser:
 
     def _resolve(self, kind: str, tok: str) -> str:
         if kind == "iri":
-            return tok[1:-1]
+            return self._abs_iri(tok[1:-1])
         if kind == "literal":
             m2 = re.match(
                 r"^(.*?)(\^\^<[^>]*>|\^\^[A-Za-z_][\w.-]*:[\w.-]*|@[A-Za-z0-9-]+)?$",
@@ -216,12 +230,36 @@ class _TurtleParser:
             if kind == "kw":
                 if tok == "@prefix":
                     pname = self.toks[self.i + 1][1].rstrip(":")
-                    iri = self.toks[self.i + 2][1][1:-1]
+                    iri = self._abs_iri(self.toks[self.i + 2][1][1:-1])
                     assert self.toks[self.i + 3][1] == ".", "malformed @prefix"
                     self.prefixes[pname] = iri
                     self.i += 4
-                else:  # @base — absolute IRIs only in the supported subset
+                else:  # @base <iri> . — later relative IRIs resolve
+                    self.base = self._abs_iri(self.toks[self.i + 1][1][1:-1])
                     self.i += 3
+                continue
+            # SPARQL-style directives (Turtle 1.1: no '@', no final '.')
+            if (
+                kind == "pname"
+                and tok.upper() == "BASE"
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1][0] == "iri"
+            ):
+                self.base = self._abs_iri(self.toks[self.i + 1][1][1:-1])
+                self.i += 2
+                continue
+            if (
+                kind == "pname"
+                and tok.upper() == "PREFIX"
+                and self.i + 2 < len(self.toks)
+                and self.toks[self.i + 1][0] == "pname"
+                and self.toks[self.i + 1][1].endswith(":")
+                and self.toks[self.i + 2][0] == "iri"
+            ):
+                self.prefixes[self.toks[self.i + 1][1].rstrip(":")] = self._abs_iri(
+                    self.toks[self.i + 2][1][1:-1]
+                )
+                self.i += 3
                 continue
             # TriG: 'GRAPH <g> { … }' — consume keyword + graph name;
             # the braces below are skipped, so the block's statements

@@ -190,12 +190,52 @@ def test_rdfxml_parsetype_resource_and_collection():
     assert ("_:rx3", RDF_NS + "rest", RDF_NS + "nil") in got
     assert len(got) == 8
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="parseType"):
-        parse_rdfxml(
-            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
-            'xmlns:ex="http://e/"><rdf:Description rdf:about="http://e/x">'
-            '<ex:p rdf:parseType="Literal"><b>x</b></ex:p>'
-            "</rdf:Description></rdf:RDF>"
+    # parseType="Literal": inner XML serialized as one rdf:XMLLiteral
+    got2 = parse_rdfxml(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://e/"><rdf:Description rdf:about="http://e/x">'
+        '<ex:p rdf:parseType="Literal">pre<b>x</b>post</ex:p>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    assert got2 == [
+        (
+            "http://e/x",
+            "http://e/p",
+            f'"pre<b>x</b>post"^^<{RDF_NS}XMLLiteral>',
         )
+    ]
+
+
+def test_rdfxml_relative_iris_resolve_against_base():
+    from de_spark.sources.rdfxml import parse_rdfxml
+
+    xml = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://e/" xml:base="http://base.org/dir/doc">'
+        '<rdf:Description rdf:about="apple">'
+        '<ex:rel rdf:resource="#frag"/>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    assert parse_rdfxml(xml) == [
+        ("http://base.org/dir/apple", "http://e/rel", "http://base.org/dir/doc#frag")
+    ]
+
+
+def test_turtle_base_and_relative_iris():
+    """@base / SPARQL-style BASE+PREFIX directives; relative IRIs
+    resolve per RFC 3986 (Turtle 1.1 §6.3)."""
+    from de_spark.sources.turtle import parse_turtle
+
+    ttl = """
+    @base <http://base.org/dir/> .
+    @prefix ex: <sub/> .
+    BASE <http://base.org/dir/>
+    PREFIX p: <http://p.org/>
+    <apple> p:rel <#frag> .
+    <apple> p:kind ex:thing .
+    """
+    got = parse_turtle(ttl)
+    assert got == [
+        ("http://base.org/dir/apple", "http://p.org/rel", "http://base.org/dir/#frag"),
+        ("http://base.org/dir/apple", "http://p.org/kind", "http://base.org/dir/sub/thing"),
+    ]
