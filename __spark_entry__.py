@@ -772,7 +772,7 @@ def oracle_sql() -> dict[str, str]:
         + f"""
         SELECT b.s AS other
         FROM triples a JOIN triples b ON a.o = b.o
-        WHERE a.p = '{CODE}source' AND b.p = '{CODE}source'
+        WHERE a.p = '{CODE}mentions' AND b.p = '{CODE}mentions'
           AND a.s = '{ENT}doc/0'
         """,
         "kg_graph_binding": TRIPLES_SQL
