@@ -22,8 +22,9 @@ subset ontologies actually ship with:
 - relative ``rdf:about``/``rdf:resource`` IRIs resolve against
   ``xml:base`` / the supplied base (RFC 3986).
 
-Reification (``rdf:ID`` on property elements) is outside the subset.
-Parsing runs inside ``mapInPandas`` over whole-file rows
+Reification: ``rdf:ID`` on a property element names the statement and
+adds the four ``rdf:Statement``/subject/predicate/object triples
+(RDF/XML §7.3).  Parsing runs inside ``mapInPandas`` over whole-file rows
 (one file = one row; many files parse in parallel across tasks — same
 batching contract as the Turtle converter).
 """
@@ -95,60 +96,80 @@ def parse_rdfxml(text: str, base: str = "") -> list[tuple[str, str, str]]:
     def walk_props(subj: str, elem: ET.Element) -> None:
         for prop in elem:
             p = _tag_iri(prop.tag)
-            pt = prop.get(f"{{{RDF_NS}}}parseType")
-            if pt == "Resource":
-                # nested bnode whose property elements are the children
-                # (oxrdfio behavior via src/rdf2nt.rs:67)
-                b = fresh_bnode()
-                triples.append((subj, p, b))
-                walk_props(b, prop)
-                continue
-            if pt == "Collection":
-                items = [walk_node(child) for child in prop]
-                node = RDF_NS + "nil" if not items else fresh_bnode()
-                triples.append((subj, p, node))
-                for j, item in enumerate(items):
-                    triples.append((node, RDF_NS + "first", item))
-                    nxt = RDF_NS + "nil" if j == len(items) - 1 else fresh_bnode()
-                    triples.append((node, RDF_NS + "rest", nxt))
-                    node = nxt
-                continue
-            if pt == "Literal":
-                # XML content becomes one rdf:XMLLiteral: leading text +
-                # each child element serialized (child.tail rides along
-                # in ElementTree's tostring).  oxrdfio emits the
-                # exclusive-canonical form; this verbatim serialization
-                # matches it for already-canonical content (the common
-                # case in shipped ontologies) and is documented as such.
-                parts = [prop.text or ""]
-                for child in prop:
-                    parts.append(ET.tostring(child, encoding="unicode"))
-                lit = '"' + _escape_nt("".join(parts)) + f'"^^<{RDF_NS}XMLLiteral>'
-                triples.append((subj, p, lit))
-                continue
-            if pt is not None:
-                raise ValueError(
-                    f"rdf:parseType={pt!r} is outside the supported RDF/XML subset"
-                )
-            res = prop.get(f"{{{RDF_NS}}}resource")
-            nid = prop.get(f"{{{RDF_NS}}}nodeID")
-            dt = prop.get(f"{{{RDF_NS}}}datatype")
-            lang = prop.get(f"{{{XML_NS}}}lang")
-            children = list(prop)
-            if res is not None:
-                triples.append((subj, p, abs_iri(res)))
-            elif nid is not None:
-                triples.append((subj, p, f"_:{nid}"))
-            elif children:
-                for child in children:
-                    triples.append((subj, p, walk_node(child)))
-            else:
-                lit = '"' + _escape_nt(prop.text or "") + '"'
-                if dt:
-                    lit += f"^^<{dt}>"
-                elif lang:
-                    lit += f"@{lang}"
-                triples.append((subj, p, lit))
+            n_before = len(triples)
+            _walk_prop(subj, p, prop)
+            rid = prop.get(f"{{{RDF_NS}}}ID")
+            if rid is not None:
+                # reification (RDF/XML §7.3): rdf:ID on a property
+                # element names the statement and adds the four
+                # rdf:Statement triples for each emitted (subj, p, o)
+                st = abs_iri(f"#{rid}") if base else f"#{rid}"
+                for s2, p2, o2 in triples[n_before:]:
+                    if s2 == subj and p2 == p:
+                        triples.extend(
+                            [
+                                (st, RDF_TYPE, RDF_NS + "Statement"),
+                                (st, RDF_NS + "subject", s2),
+                                (st, RDF_NS + "predicate", p2),
+                                (st, RDF_NS + "object", o2),
+                            ]
+                        )
+
+    def _walk_prop(subj: str, p: str, prop: ET.Element) -> None:
+        pt = prop.get(f"{{{RDF_NS}}}parseType")
+        if pt == "Resource":
+            # nested bnode whose property elements are the children
+            # (oxrdfio behavior via src/rdf2nt.rs:67)
+            b = fresh_bnode()
+            triples.append((subj, p, b))
+            walk_props(b, prop)
+            return
+        if pt == "Collection":
+            items = [walk_node(child) for child in prop]
+            node = RDF_NS + "nil" if not items else fresh_bnode()
+            triples.append((subj, p, node))
+            for j, item in enumerate(items):
+                triples.append((node, RDF_NS + "first", item))
+                nxt = RDF_NS + "nil" if j == len(items) - 1 else fresh_bnode()
+                triples.append((node, RDF_NS + "rest", nxt))
+                node = nxt
+            return
+        if pt == "Literal":
+            # XML content becomes one rdf:XMLLiteral: leading text +
+            # each child element serialized (child.tail rides along
+            # in ElementTree's tostring).  oxrdfio emits the
+            # exclusive-canonical form; this verbatim serialization
+            # matches it for already-canonical content (the common
+            # case in shipped ontologies) and is documented as such.
+            parts = [prop.text or ""]
+            for child in prop:
+                parts.append(ET.tostring(child, encoding="unicode"))
+            lit = '"' + _escape_nt("".join(parts)) + f'"^^<{RDF_NS}XMLLiteral>'
+            triples.append((subj, p, lit))
+            return
+        if pt is not None:
+            raise ValueError(
+                f"rdf:parseType={pt!r} is outside the supported RDF/XML subset"
+            )
+        res = prop.get(f"{{{RDF_NS}}}resource")
+        nid = prop.get(f"{{{RDF_NS}}}nodeID")
+        dt = prop.get(f"{{{RDF_NS}}}datatype")
+        lang = prop.get(f"{{{XML_NS}}}lang")
+        children = list(prop)
+        if res is not None:
+            triples.append((subj, p, abs_iri(res)))
+        elif nid is not None:
+            triples.append((subj, p, f"_:{nid}"))
+        elif children:
+            for child in children:
+                triples.append((subj, p, walk_node(child)))
+        else:
+            lit = '"' + _escape_nt(prop.text or "") + '"'
+            if dt:
+                lit += f"^^<{dt}>"
+            elif lang:
+                lit += f"@{lang}"
+            triples.append((subj, p, lit))
 
     def walk_node(elem: ET.Element) -> str:
         subj = subject_of(elem)

@@ -206,6 +206,27 @@ def test_rdfxml_parsetype_resource_and_collection():
     ]
 
 
+def test_rdfxml_reification():
+    """rdf:ID on a property element names the statement: four
+    rdf:Statement/subject/predicate/object triples (RDF/XML §7.3)."""
+    from de_spark.sources.rdfxml import RDF_NS, parse_rdfxml
+
+    xml = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://e/" xml:base="http://b.org/doc">'
+        '<rdf:Description rdf:about="http://e/x"><ex:p rdf:ID="st1">v</ex:p>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    st = "http://b.org/doc#st1"
+    assert parse_rdfxml(xml) == [
+        ("http://e/x", "http://e/p", '"v"'),
+        (st, RDF_NS + "type", RDF_NS + "Statement"),
+        (st, RDF_NS + "subject", "http://e/x"),
+        (st, RDF_NS + "predicate", "http://e/p"),
+        (st, RDF_NS + "object", '"v"'),
+    ]
+
+
 def test_rdfxml_relative_iris_resolve_against_base():
     from de_spark.sources.rdfxml import parse_rdfxml
 

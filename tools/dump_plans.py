@@ -21,6 +21,12 @@ SHOW = [
     ("q1_pricing_summary", "scan + partial/final agg (whole-stage codegen span)"),
     ("embedding_neardup", "LSH-bucketed near-dup: NO CartesianProduct/BroadcastNestedLoopJoin node"),
     ("kg_path_comention", "property path (seq+inverse): uid-pair joins, bound subject as broadcast semi"),
+    (
+        "kg_path_reach",
+        "bound-subject + closure: SEEDED semi-naive reachability — the plan reads "
+        "the eagerly-checkpointed closure result (Scan ExistingRDD), not a "
+        "full-relation closure join tree; per-round frontiers were uid-only joins",
+    ),
     ("kg_sparql_not_exists", "FILTER NOT EXISTS through the SPARQL text parser: anti-join on uid solutions"),
     (
         "ann_ivf_topk",
