@@ -162,14 +162,18 @@ def _cmp(op: str, lc, lt, rc, rt):
         # term vs term (var-var, or var vs a typed literal): SPARQL
         # operator mapping compares numeric literals by VALUE —
         # "1"^^xsd:integer = "01"^^xsd:integer, ?a > "9"^^xsd:integer
-        # is numeric, not lexicographic (spareval, src/sparql.rs:520).
-        # Non-numeric terms keep the raw HDT-string comparison
-        # (equality incl. datatype suffix; ordering = the reference's
-        # string collation).
+        # is numeric, not lexicographic — and xsd:dateTime/date compare
+        # by INSTANT (spareval, src/sparql.rs:520).  Everything else
+        # keeps the raw HDT-string comparison (equality incl. datatype
+        # suffix; ordering = the reference's string collation).
         ln, rn = terms.numeric_value(lc), terms.numeric_value(rc)
+        tl, tr = terms.datetime_value(lc), terms.datetime_value(rc)
         both_num = ln.isNotNull() & rn.isNotNull()
+        both_dt = tl.isNotNull() & tr.isNotNull()
         return (
-            F.when(both_num, _CMP_OPS[op](ln, rn)).otherwise(_CMP_OPS[op](lc, rc)),
+            F.when(both_num, _CMP_OPS[op](ln, rn))
+            .when(both_dt, _CMP_OPS[op](tl, tr))
+            .otherwise(_CMP_OPS[op](lc, rc)),
             "bool",
         )
     return _CMP_OPS[op](lc, rc), "bool"
@@ -936,16 +940,17 @@ def _env_for(df: DataFrame) -> dict:
 def _term_sort_cols(c: Column) -> list[Column]:
     """SPARQL value ordering for a term-string column, as a sort-key
     column list: term kind first (blank < IRI < literal, §15.1), then
-    numeric literals by VALUE ("9" before "10"), then the raw term
-    string (non-numeric literals, and a deterministic tiebreak among
-    value-equal lexical forms).  Unbound (NULL) sorts first via
-    Spark's default asc-nulls-first."""
+    numeric literals by VALUE ("9" before "10") and dateTime/date
+    literals by instant, then the raw term string (non-numeric
+    literals, and a deterministic tiebreak among value-equal lexical
+    forms).  Unbound (NULL) sorts first via Spark's default
+    asc-nulls-first."""
     rank = (
         F.when(c.startswith('"'), F.lit(2))
         .when(c.startswith("_"), F.lit(0))
         .otherwise(F.lit(1))
     )
-    return [rank, terms.numeric_value(c), c]
+    return [rank, terms.numeric_value(c), terms.datetime_value(c), c]
 
 
 def _apply_order(df: DataFrame, order_keys: list) -> DataFrame:

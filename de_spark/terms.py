@@ -75,6 +75,20 @@ def numeric_value(term: Column) -> Column:
     )
 
 
+_DATETIME_DTS = [XSD + "dateTime", XSD + "date"]
+
+
+def datetime_value(term: Column) -> Column:
+    """Timestamp VALUE of an xsd:dateTime/xsd:date literal, else NULL.
+    try_cast resolves timezone offsets to instants, so two lexical
+    forms of the same moment compare equal and offsets order
+    chronologically (SPARQL op:dateTime ordering)."""
+    return F.when(
+        literal_datatype(term).isin(_DATETIME_DTS),
+        literal_value(term).try_cast("timestamp"),
+    )
+
+
 def sparql_csv_form(term: Column) -> Column:
     """SPARQL-results-CSV rendering: IRIs bare, literals unquoted lexical
     form, bnodes as-is (matches sparesults CSV, asserted at

@@ -229,6 +229,23 @@ def test_datetime_builtins(kg):
     assert locals_(sparql_select(kg, q3), "s") == ["s1"]
 
 
+def test_datetime_value_comparison_and_order(kg):
+    """xsd:dateTime compares and orders by INSTANT: s2's
+    2023-12-31T23:59:58+02:00 is 21:59:58Z — before s1's
+    2024-03-05T10:20:30Z — even though its lexical form sorts after."""
+    q = PX + f"""
+    SELECT ?s WHERE {{
+      ?s x:when ?w .
+      FILTER(?w < "2024-01-01T00:00:00Z"^^<{XSD}dateTime>)
+    }}
+    """
+    assert locals_(sparql_select(kg, q), "s") == ["s2"]
+    q2 = PX + "SELECT ?s WHERE { ?s x:when ?w } ORDER BY ?w"
+    assert locals_(sparql_select(kg, q2), "s") == ["s2", "s1"]
+    q3 = PX + "SELECT ?s WHERE { ?s x:when ?w } ORDER BY DESC(?w) LIMIT 1"
+    assert locals_(sparql_select(kg, q3), "s") == ["s1"]
+
+
 # ---------------------------------------------------------------------------
 # seeded property-path closures (VERDICT r3 "do this" #1)
 # ---------------------------------------------------------------------------
