@@ -446,6 +446,27 @@ def _text_analyze(spark, sf_dir):
     return text.analyze(_read(spark, sf_dir, "documents"))
 
 
+def _text_chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (training-data op): 32-token windows
+    stepping 24 (8-token overlap), pure Catalyst — split + sequence +
+    explode + slice, no UDF, no shuffle."""
+    return text.chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+def _sample_mix_by_lang(spark, sf_dir):
+    """Deterministic stratified sampling (training-mix rebalancing):
+    hash-gated per-language keep rates — reproducible across runs and
+    cluster sizes, exact DuckDB twin via the portable md5-prefix
+    hash."""
+    return text.sample_stratified(
+        _read(spark, sf_dir, "documents"),
+        {"en": 0.5, "es": 0.25, "de": 0.1},
+        seed=7,
+    ).select("doc_id", "lang")
+
+
 def _dedup_exact_docs(spark, sf_dir):
     return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -553,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_per_user": _events_latest_per_user,
         # training-data ops
         "text_analyze": _text_analyze,
+        "text_chunk_docs": _text_chunk_docs,
+        "sample_mix_by_lang": _sample_mix_by_lang,
         "dedup_exact_docs": _dedup_exact_docs,
         "dedup_jaccard_pairs": _dedup_jaccard_pairs,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -977,6 +1000,29 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'fr' END AS lang_pred,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents
+        """,
+        "text_chunk_docs": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, t,
+                 unnest(range(0, (len(t) - 1) // 24 + 1)) AS chunk_id
+          FROM toks WHERE len(t) > 0
+        )
+        SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+               array_to_string(t[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
+               len(t[chunk_id*24+1 : chunk_id*24+32])::BIGINT AS n_tokens
+        FROM c
+        """,
+        "sample_mix_by_lang": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ({_ph_sql("'7' || chr(31) || doc_id::VARCHAR")} % 1000000) <
+              CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 250000
+                        WHEN 'de' THEN 100000 ELSE 0 END
         """,
         "dedup_exact_docs": """
         SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash,

@@ -109,3 +109,80 @@ def analyze(documents: DataFrame) -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking for training-data pipelines:
+    whitespace tokens sliced into windows of ``chunk_tokens`` stepping
+    by ``chunk_tokens - overlap``.  Pure Catalyst (split + sequence +
+    explode + slice) — no UDF, no shuffle beyond the parent scan, and
+    output partitioning follows the input so a downstream tokenizer
+    or dedup stage reads co-located chunks.  Deterministic: the
+    DuckDB twin in __spark_entry__.oracle_sql() restates the same
+    window arithmetic.  Empty documents produce no chunks."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    trimmed = F.trim(F.col(text_col))
+    toks = F.split(trimmed, r"\s+")
+    n = F.when(trimmed == "", F.lit(0)).otherwise(F.size(toks))
+    num_chunks = F.floor((F.col("__n") - 1) / step) + 1
+    out = (
+        documents.select(
+            F.col(id_col), toks.alias("__toks"), n.alias("__n")
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__toks",
+            "__n",
+            F.explode(F.sequence(F.lit(0), (num_chunks - 1).cast("int"))).alias(
+                "chunk_id"
+            ),
+        )
+    )
+    start = F.col("chunk_id") * step
+    piece = F.slice(F.col("__toks"), start + 1, chunk_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def sample_stratified(
+    documents: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (e.g. language rebalancing
+    for a training mix): a document is kept iff
+    ``portable_hash64(seed:doc_id) mod 1e6 < rate[stratum] * 1e6``.
+    Hash-gated (not rand()): reproducible across runs, cluster sizes
+    and engines — the DuckDB oracle applies the identical md5-prefix
+    arithmetic.  One narrow filter over the scan; no shuffle."""
+    from de_spark.ops.dedup import portable_hash64
+
+    h = portable_hash64(F.col(id_col).cast("string"), seed=seed)
+    bucket = F.pmod(h, F.lit(1_000_000))
+    rate = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(strata_col) == k
+        thr = F.lit(int(v * 1_000_000))
+        rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
+    rate = (
+        rate.otherwise(F.lit(int(default_rate * 1_000_000)))
+        if rate is not None
+        else F.lit(int(default_rate * 1_000_000))
+    )
+    return documents.where(bucket < rate)

@@ -383,3 +383,52 @@ def test_multimodal_png_features_reflect_content(spark):
         for r in multimodal.extract_features(media, strict=True).collect()
     }
     assert feats[1] == feats[2]  # identical pixels → identical features
+
+
+def test_chunk_documents(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),  # 10 tokens
+            (2, "x y"),                  # shorter than one chunk
+            (3, ""),                     # empty: no chunks
+            (4, "   "),                  # whitespace-only: no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        )
+    # step = 3: windows [a..d], [d..g], [g..j], [j]
+    assert sorted(by_doc[1]) == [
+        (0, "a b c d", 4),
+        (1, "d e f g", 4),
+        (2, "g h i j", 4),
+        (3, "j", 1),
+    ]
+    assert by_doc[2] == [(0, "x y", 2)]
+    assert 3 not in by_doc and 4 not in by_doc
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_sample_stratified_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", ["en", "es", "de"][i % 3]) for i in range(300)],
+        ["doc_id", "text", "lang"],
+    )
+    a = text.sample_stratified(docs, {"en": 0.5, "es": 0.2}, seed=7)
+    b = text.sample_stratified(docs, {"en": 0.5, "es": 0.2}, seed=7)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    rb = sorted(r["doc_id"] for r in b.collect())
+    assert ra == rb and ra  # deterministic, non-empty
+    # unlisted stratum defaults to rate 0 → no 'de' rows survive
+    assert all(r["lang"] != "de" for r in a.collect())
+    # kept sets are hash-gated subsets: en kept count ~ 50 of 100
+    n_en = sum(1 for r in a.collect() if r["lang"] == "en")
+    assert 30 <= n_en <= 70
+    # different seed → different sample
+    c = sorted(r["doc_id"] for r in text.sample_stratified(docs, {"en": 0.5, "es": 0.2}, seed=8).collect())
+    assert c != ra
