@@ -92,6 +92,7 @@ def bench_kg_build(spark, sf: float) -> dict:
 QUERY_NAMES = [
     "kg_bgp_mentions",
     "kg_path_comention",
+    "kg_path_reach",
     "kg_sparql_not_exists",
     "kg_mentions_degree",
     "q1_pricing_summary",
