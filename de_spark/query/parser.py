@@ -136,6 +136,11 @@ def expr_vars(e) -> set[str]:
         return out
     if isinstance(e, InE):
         return expr_vars(e.expr)
+    if isinstance(e, AggE):
+        out = expr_vars(e.expr) if e.expr is not None else set()
+        if e.var not in ("*", ""):
+            out.add(e.var)
+        return out
     return set()
 
 

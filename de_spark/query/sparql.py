@@ -984,7 +984,32 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery, graph: str | None = None) -> Dat
         raise ValueError("empty WHERE group")
 
     var_cols = list(sols.columns)
-    decoded = kg.decode_vars(sols, var_cols)
+    # decode PRUNING: only columns the query's output surface touches
+    # (projection, select/aggregate/having/order/group expressions)
+    # join through term_uids — a var that exists only to connect
+    # patterns never pays a decode join (at 100 TB each decode is a
+    # fact-sized shuffle/broadcast join, so this is column pruning for
+    # the emission stage, mirroring ReadSchema pruning at the scan)
+    needed: set[str] = set(q.variables) if q.variables else set(var_cols)
+    for _, e in q.select_exprs:
+        needed |= expr_vars(e)
+    for a in q.aggregates:
+        needed |= expr_vars(a.expr) if a.expr is not None else set()
+        if a.var not in ("*", ""):
+            needed.add(a.var)
+    for h in q.having:
+        needed |= expr_vars(h)
+    for g in q.group_by:
+        if isinstance(g, str):
+            needed.add(g)
+        else:
+            needed |= expr_vars(g[1])
+    for key, _ in q.order_by:
+        if isinstance(key, str):
+            needed.add(key)
+        else:
+            needed |= expr_vars(key)
+    decoded = kg.decode_vars(sols, [c for c in var_cols if c in needed])
 
     hidden: list = []
     having_rw = [_rewrite_having(h, hidden) for h in q.having]

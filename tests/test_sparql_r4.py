@@ -385,3 +385,31 @@ def test_insert_data_ground_terms():
         parse_update(
             "INSERT DATA { GRAPH <http://g/n> { ?s <http://x/p> <http://x/o> } }"
         )
+
+
+# ---------------------------------------------------------------------------
+# decode pruning (emission-stage column pruning)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_pruning(kg):
+    """Only projected/used variables pay a term_uids decode join: a
+    var that exists just to connect patterns stays a uid through the
+    plan (at 100 TB each decode is a fact-sized join — this is column
+    pruning for the emission stage)."""
+    both = sparql_select(kg, PX + "SELECT ?s ?k WHERE { ?s x:kind ?k }")
+    one = sparql_select(kg, PX + "SELECT ?s WHERE { ?s x:kind ?k }")
+    plan_both = both._jdf.queryExecution().optimizedPlan().toString()
+    plan_one = one._jdf.queryExecution().optimizedPlan().toString()
+    assert plan_one.count("Join") < plan_both.count("Join")
+    # results unchanged
+    assert one.count() == 5
+    assert sorted(r["s"].rsplit("/", 1)[1] for r in one.collect()) == [
+        "s1", "s2", "s3", "s4", "s5"
+    ]
+    # ORDER BY / HAVING / aggregate references still force the decode
+    agg = sparql_select(
+        kg,
+        PX + "SELECT ?k (COUNT(?s) AS ?n) WHERE { ?s x:kind ?k } GROUP BY ?k ORDER BY ?k",
+    )
+    assert [r["k"] for r in agg.collect()] == ["http://x/A", "http://x/B"]
