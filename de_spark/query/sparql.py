@@ -595,6 +595,41 @@ def _attach_exists_marker(
     return out.withColumn(name, flag)
 
 
+def _push_bind_uid(kg: KnowledgeGraph, df: DataFrame, node) -> DataFrame | None:
+    """Single-variable BIND evaluated in uid space: the expression runs
+    once over the vocabulary-sized term_uids table and the rendered
+    result joins in as a (uid → value) map — the solution-sized frame
+    never decodes the source var just to compute a scalar of it (the
+    same trade as _push_filter_uid, for Extend).  Returns None when
+    not pushable: multi-var expressions, string-typed sources, and
+    null-sensitive builtins (BOUND/COALESCE/IF must see the unbound
+    row itself, which the vocabulary never contains)."""
+    vs = expr_vars(node.expr)
+    if len(vs) != 1:
+        return None
+    v = vs.pop()
+    if v not in df.columns or dict(df.dtypes).get(v) != "bigint":
+        return None
+    if _is_value_col(df, v):
+        return None
+    if expr_has(
+        node.expr,
+        lambda x: (isinstance(x, Call) and x.name in ("BOUND", "COALESCE", "IF"))
+        or isinstance(x, ExistsE),
+    ):
+        return None
+    try:
+        col, tag = _ex(node.expr, {v: (F.col("term"), "term")})
+    except ValueError:
+        return None
+    mapdf = kg.term_uids.select(
+        F.col("uid").alias(v), _render_term(col, tag).alias(node.var)
+    )
+    # left join: a null (unbound) source var yields an unbound BIND
+    # value, matching the generic path's null propagation
+    return df.join(mapdf, v, "left")
+
+
 def _apply_exists(
     kg: KnowledgeGraph, df: DataFrame, ex: ExistsE, graph: str | None
 ) -> DataFrame:
@@ -864,6 +899,9 @@ def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
         else:
             if node.var in df.columns:
                 raise ValueError(f"BIND reuses an in-scope variable: ?{node.var}")
+            pushed = _push_bind_uid(kg, df, node)
+            if pushed is not None:
+                return pushed
             df, env, temp = _with_term_strs(kg, df, vs)
         col, tag = _ex(node.expr, env)
         return df.withColumn(node.var, _render_term(col, tag)).drop(*temp)
