@@ -1106,6 +1106,20 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery, graph: str | None = None) -> Dat
                     col = F.concat_ws(a.sep, F.collect_list(_as_str(src, src_tag)))
                 aggs.append(col.alias(a.alias))
                 continue
+            if a.func in ("min", "max"):
+                # MIN/MAX follow the ORDER BY comparison (SPARQL
+                # §18.5.1.5-6): over terms, pick the term by VALUE
+                # ordering via min_by/max_by on the sort-key struct —
+                # MIN(?name) over strings returns the term, never a
+                # silent NULL from a failed numeric cast
+                if src_tag == "term":
+                    key = F.struct(*_term_sort_cols(src))
+                    fn = F.min_by if a.func == "min" else F.max_by
+                    aggs.append(fn(src, key).alias(a.alias))
+                else:
+                    fn = F.min if a.func == "min" else F.max
+                    aggs.append(fn(_as_num(src, src_tag)).alias(a.alias))
+                continue
             # numeric aggregates operate on the literal's lexical value
             # (try_cast: non-numeric terms aggregate as NULL, not abort)
             col = _as_num(src, src_tag)
@@ -1121,10 +1135,6 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery, graph: str | None = None) -> Dat
                     else F.avg(col)
                 )
                 aggs.append(avg_col.alias(a.alias))
-            elif a.func == "min":
-                aggs.append(F.min(col).alias(a.alias))
-            elif a.func == "max":
-                aggs.append(F.max(col).alias(a.alias))
         if not aggs:
             # GROUP BY with no aggregates = distinct group keys
             aggs.append(F.count(F.lit(1)).alias("__dummy"))

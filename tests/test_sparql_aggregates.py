@@ -55,7 +55,11 @@ def test_group_by_sum_avg_min_max(kg):
     """
     rows = sparql_select(kg, q).collect()
     a, b = rows
-    assert (a["k"], a["total"], a["mean"], a["lo"], a["hi"]) == ("http://x/A", 40.0, 20.0, 10.0, 30.0)
+    # MIN/MAX return the TERM picked by value ordering (SPARQL
+    # §18.5.1.5-6), not a numeric cast
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    assert (a["k"], a["total"], a["mean"]) == ("http://x/A", 40.0, 20.0)
+    assert (a["lo"], a["hi"]) == (f'"10"^^<{xsd_int}>', f'"30"^^<{xsd_int}>')
     assert (b["k"], b["total"]) == ("http://x/B", 5.0)
 
 
@@ -117,7 +121,10 @@ def test_having_inline_aggregate(kg):
     GROUP BY ?k HAVING(SUM(?v) * 2 >= 80) ORDER BY ?k
     """
     rows2 = sparql_select(kg, q2).collect()
-    assert [(r["k"], r["hi"]) for r in rows2] == [("http://x/A", 30.0)]
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    assert [(r["k"], r["hi"]) for r in rows2] == [
+        ("http://x/A", f'"30"^^<{xsd_int}>')
+    ]
 
 
 def test_group_by_without_aggregates_is_distinct_keys(kg):
@@ -139,3 +146,14 @@ def test_construct_where_shorthand(kg):
 
     with _pytest.raises(ValueError, match="plain triple patterns"):
         sparql_construct(kg, "CONSTRUCT WHERE { ?s ?p ?o FILTER(isIRI(?o)) }")
+
+
+def test_min_max_over_strings(kg):
+    """MIN/MAX over non-numeric literals pick the term by the ORDER BY
+    collation — never a silent NULL from a failed numeric cast."""
+    q = """
+    PREFIX x: <http://x/>
+    SELECT (MIN(?k) AS ?lo) (MAX(?k) AS ?hi) WHERE { ?s x:kind ?k }
+    """
+    r = sparql_select(kg, q).collect()[0]
+    assert (r["lo"], r["hi"]) == ("http://x/A", "http://x/B")
