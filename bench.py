@@ -102,6 +102,8 @@ QUERY_NAMES = [
     "cust_order_counts_left",
     "events_latest_per_user",
     "text_analyze",
+    "text_chunk_docs",
+    "sample_mix_by_lang",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "ann_cosine_topk",

@@ -243,8 +243,10 @@ def _call(e: Call, env: dict) -> tuple[Column, str]:
         c, t = arg(0)
         pat = _const_str(e.args[1])
         flags = e.args[2] if len(e.args) > 2 else ""
-        if "i" in flags:
-            pat = "(?i)" + pat
+        # XPath flags i/s/m/x map onto Java regex embedded modifiers
+        mods = "".join(f for f in "ismx" if f in flags)
+        if mods:
+            pat = f"(?{mods})" + pat
         return _as_str(c, t).rlike(pat), "bool"
     if name == "BOUND":
         if not isinstance(e.args[0], VarE):
@@ -1086,7 +1088,16 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery, graph: str | None = None) -> Dat
                 src, src_tag = F.col(a.var), "term"
             if a.func == "count":
                 if a.var == "*":
-                    aggs.append(F.count(F.lit(1)).alias(a.alias))
+                    if a.distinct:
+                        # COUNT(DISTINCT *): distinct solutions — all
+                        # in-scope columns as one struct key
+                        aggs.append(
+                            F.countDistinct(
+                                F.struct(*[F.col(c) for c in decoded.columns])
+                            ).alias(a.alias)
+                        )
+                    else:
+                        aggs.append(F.count(F.lit(1)).alias(a.alias))
                 elif a.distinct:
                     aggs.append(F.countDistinct(src).alias(a.alias))
                 else:

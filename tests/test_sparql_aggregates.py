@@ -157,3 +157,14 @@ def test_min_max_over_strings(kg):
     """
     r = sparql_select(kg, q).collect()[0]
     assert (r["lo"], r["hi"]) == ("http://x/A", "http://x/B")
+
+
+def test_count_distinct_star(kg):
+    """COUNT(DISTINCT *) counts distinct solutions (the DISTINCT
+    modifier must not be silently dropped for the * form)."""
+    q = """
+    PREFIX x: <http://x/>
+    SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?a x:kind ?k . ?b x:kind ?k }
+    """
+    # A-pairs: (s1,s1),(s1,s2),(s2,s1),(s2,s2); B: (s3,s3) → 5 distinct
+    assert sparql_select(kg, q).collect()[0]["n"] == 5
