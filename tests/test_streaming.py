@@ -110,3 +110,20 @@ def test_running_source_stats_accumulates_across_batches(spark, tmp_path):
     ).collect()
     got = {r["source"]: (r["docs"], r["tokens"]) for r in rows}
     assert got == {"s1": (2, 7), "s2": (1, 2)}
+
+
+def test_chunking_composes_with_streaming(spark, tmp_path):
+    """chunk_documents is pure stateless Catalyst (split + sequence +
+    explode + slice), so it applies unchanged to a streaming frame —
+    the continuous-ingest twin of the batch chunking op."""
+    from de_spark.ops.text import chunk_documents
+
+    src = tmp_path / "cdocs"
+    os.makedirs(src)
+    (src / "a.json").write_text(
+        '{"doc_id": 1, "text": "a b c d e f"}\n{"doc_id": 2, "text": ""}\n'
+    )
+    docs = spark.readStream.schema("doc_id LONG, text STRING").json(str(src))
+    out = _drain(chunk_documents(docs, chunk_tokens=4, overlap=1), "chunk_sink", spark)
+    rows = {(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out.collect()}
+    assert rows == {(1, 0, "a b c d"), (1, 1, "d e f")}
