@@ -29,6 +29,11 @@ SHOW = [
     ),
     ("kg_sparql_not_exists", "FILTER NOT EXISTS through the SPARQL text parser: anti-join on uid solutions"),
     (
+        "kg_sparql_order_numeric",
+        "value-semantics ORDER BY + LIMIT: TakeOrderedAndProject (per-partition "
+        "top-k + merge, no global sort shuffle); BIND pushed to the vocabulary",
+    ),
+    (
         "ann_ivf_topk",
         "IVF probe: the BroadcastNestedLoopJoin here is the INTENDED n-rows x "
         "k-broadcast-centroids expansion (centroid table is a few MB even at 4k "
