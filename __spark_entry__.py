@@ -188,6 +188,22 @@ def _kg_sparql_ask(spark, sf_dir):
     ).select(F.col("bool").alias("b"))
 
 
+def _kg_sparql_describe(spark, sf_dir):
+    """DESCRIBE through the text surface: all triples whose subject is
+    a described resource (outgoing description, matching oxigraph's
+    QueryResults::Graph routing, src/query.rs:102-176); the described
+    set resolves in uid space and broadcast-semi-joins the fact
+    table."""
+    from de_spark.query import sparql_describe
+
+    kg = documents_kg(spark, sf_dir)
+    return sparql_describe(
+        kg,
+        f"DESCRIBE <{ENT}doc/0> ?d WHERE {{ ?d <{CODE}mentions> <{ENT}word/window> . "
+        f"?d <{CODE}lang> \"fr\" }}",
+    )
+
+
 _WORD_PREFIX_LEN = len(ENT + "word/")
 
 
@@ -553,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind_arith": _kg_sparql_bind_arith,
         "kg_sparql_construct": _kg_sparql_construct,
         "kg_sparql_ask": _kg_sparql_ask,
+        "kg_sparql_describe": _kg_sparql_describe,
         "kg_path_reach": _kg_path_reach,
         "kg_sparql_order_numeric": _kg_sparql_order_numeric,
         "kg_sparql_order_agg": _kg_sparql_order_agg,
@@ -845,6 +862,17 @@ def oracle_sql() -> dict[str, str]:
           SELECT 1 FROM triples
           WHERE p = '{CODE}mentions' AND o = '{ENT}word/window'
         ) AS b
+        """,
+        "kg_sparql_describe": TRIPLES_SQL
+        + f"""
+        SELECT DISTINCT t.s AS s, t.p AS p, t.o AS o
+        FROM triples t
+        WHERE t.s = '{ENT}doc/0'
+           OR t.s IN (
+             SELECT a.s FROM triples a JOIN triples l ON l.s = a.s
+             WHERE a.p = '{CODE}mentions' AND a.o = '{ENT}word/window'
+               AND l.p = '{CODE}lang' AND l.o = '"fr"'
+           )
         """,
         # bound-subject + closure: recursive CTE twin of the seeded
         # semi-naive reachability (set semantics — UNION dedups, as
