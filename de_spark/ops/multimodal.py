@@ -3,9 +3,10 @@ columns with typed metadata.
 
 The Spark-side plumbing (schema, partition-friendly batching, Arrow
 UDF signatures, frame-sampling math) is real and tested.  Decode
-kernels: PPM (P6) and PNG images (zlib inflate + per-row filter
-reconstruction of all five PNG filters, numpy + stdlib — no PIL
-needed) and PCM WAV audio are decoded FOR REAL, so the decode→feature
+kernels: PPM (P6), PNG (zlib inflate + per-row filter reconstruction
+of all five PNG filters) and GIF images (full LZW with code-width
+growth and clear/end handling — numpy + stdlib, no PIL needed) and
+PCM WAV audio are decoded FOR REAL, so the decode→feature
 path is exercised end-to-end on actual pixels/samples.  JPEG/MP4
 remain the honest stub — this container has no PIL/ffmpeg — raising
 NotImplementedError in strict mode or producing a deterministic fake
@@ -251,6 +252,156 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, px
 
 
+GIF_SIG = b"GIF8"
+
+
+def _gif_palette() -> np.ndarray:
+    """Deterministic 256-entry RGB palette for synthetic GIFs."""
+    i = np.arange(256, dtype=np.uint16)
+    return np.stack([i % 256, (i * 3) % 256, (i * 7) % 256], axis=1).astype(np.uint8)
+
+
+def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid GIF89a: 256-color global palette, one image, LZW
+    stream that emits a CLEAR code before every literal (the classic
+    uncompressed-GIF technique — codes stay 9 bits wide, every decoder
+    accepts it).  Deterministic in (width, height, seed)."""
+    idx = ((np.add.outer(np.arange(height), np.arange(width)) * 7 + seed) % 256).astype(
+        np.uint8
+    )
+    out = bytearray()
+    out += b"GIF89a"
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+    out += _gif_palette().tobytes()
+    out += b"\x2c" + b"\x00" * 4  # image descriptor at (0,0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += b"\x00"  # no local color table, not interlaced
+    out += bytes([8])  # LZW min code size
+    clear, end = 256, 257
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width_: int = 9) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width_
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for v in idx.ravel():
+        emit(clear)
+        emit(int(v))
+    emit(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+    for off in range(0, len(bits), 255):
+        block = bits[off : off + 255]
+        out += bytes([len(block)]) + bytes(block)
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode the FIRST image of a GIF87a/89a (full LZW with code-width
+    growth, clear/end handling, sub-block reassembly; extensions
+    skipped; interlace unsupported → ValueError).  Returns
+    (width, height, HxWx3 uint8 RGB)."""
+    if not data.startswith(GIF_SIG):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    sw = int.from_bytes(data[pos : pos + 2], "little")
+    sh = int.from_bytes(data[pos + 2 : pos + 4], "little")
+    packed = data[pos + 4]
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+        iflags = data[pos + 9]
+        pos += 10
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF is unsupported")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 ** ((iflags & 0x07) + 1)
+            pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        min_code = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            stream += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = _lzw_decode(bytes(stream), min_code, w * h)
+        arr = pal[np.asarray(indices, dtype=np.int32) % len(pal)].reshape(h, w, 3)
+        return w, h, arr
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(stream: bytes, min_code: int, limit: int) -> list[int]:
+    """GIF-flavor LZW: variable code width min_code+1..12, CLEAR resets
+    the table, END stops; stops early once ``limit`` pixels decoded."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [[i] for i in range(1 << min_code)] + [[], []]
+    table = list(base)
+    width = min_code + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in stream:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out[:limit]
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            else:
+                entry = prev + [prev[0]]
+                table.append(entry)
+            out += entry
+            if len(out) >= limit:
+                return out[:limit]
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            prev = entry
+    return out[:limit]
+
+
 def make_wav(duration_ms: int, freq_hz: float = 440.0, rate: int = 8000, seed: int = 0) -> bytes:
     """Deterministic 16-bit mono PCM WAV: a sine with seeded phase."""
     n = max(int(rate * duration_ms / 1000), 1)
@@ -291,10 +442,13 @@ def synthetic_media(spark: SparkSession, n: int = 64, partitions: int = 4) -> Da
         h = 48 + (i % 8) * 16
         dur = 1000 * (1 + i % 30)
         if kind == "image":
-            if (i // 3) % 2 == 0:
+            pick = (i // 3) % 3
+            if pick == 0:
                 mime, payload = "image/x-portable-pixmap", make_ppm(w, h, seed=i)
-            else:
+            elif pick == 1:
                 mime, payload = "image/png", make_png(w, h, seed=i)
+            else:
+                mime, payload = "image/gif", make_gif(w, h, seed=i)
         elif kind == "audio":
             mime, payload = "audio/wav", make_wav(min(dur, 3000), 200.0 + 10 * i, seed=i)
         else:
@@ -323,7 +477,12 @@ def _fake_decode_feature(payload: bytes, dim: int = 8) -> list[float]:
 def _image_features(data: bytes) -> list[float]:
     """Real pixel features from a decoded PPM or PNG: per-channel
     means, gray std, brightness extremes, geometry."""
-    w, h, arr = decode_png(data) if data.startswith(PNG_SIG) else decode_ppm(data)
+    if data.startswith(PNG_SIG):
+        w, h, arr = decode_png(data)
+    elif data.startswith(GIF_SIG):
+        w, h, arr = decode_gif(data)
+    else:
+        w, h, arr = decode_ppm(data)
     f = arr.astype(np.float32) / 255.0
     gray = f.mean(axis=-1)
     return [
@@ -362,9 +521,10 @@ def extract_features(media: DataFrame, strict: bool = False, dim: int = 8) -> Da
             for mime, p in zip(pdf["mime"], pdf["payload"]):
                 data = bytes(p)
                 if (
-                    mime in ("image/x-portable-pixmap", "image/png")
+                    mime in ("image/x-portable-pixmap", "image/png", "image/gif")
                     or data.startswith(b"P6")
                     or data.startswith(PNG_SIG)
+                    or data.startswith(GIF_SIG)
                 ):
                     feats.append(_image_features(data))
                     oks.append(True)

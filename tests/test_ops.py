@@ -432,3 +432,28 @@ def test_sample_stratified_deterministic(spark):
     # different seed → different sample
     c = sorted(r["doc_id"] for r in text.sample_stratified(docs, {"en": 0.5, "es": 0.2}, seed=8).collect())
     assert c != ra
+
+
+def test_gif_roundtrip_and_features(spark):
+    """Real GIF decode kernel: make_gif's LZW stream decodes back to
+    the exact palette-mapped pixels, and image features route GIF
+    payloads through the real decoder in strict mode."""
+    import numpy as np
+
+    from de_spark.ops.multimodal import _gif_palette, decode_gif, make_gif
+
+    g = make_gif(13, 7, seed=3)
+    w, h, arr = decode_gif(g)
+    idx = ((np.add.outer(np.arange(7), np.arange(13)) * 7 + 3) % 256).astype(np.uint8)
+    assert (w, h) == (13, 7)
+    assert (arr == _gif_palette()[idx.astype(np.int32)]).all()
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/gif", bytearray(g), 13, 7, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(media, strict=True).collect()[0]
+    assert row["decode_ok"] and len(row["feature"]) == 8
+    # features come from the REAL pixels: mean of channel 0 matches
+    exp = float(_gif_palette()[idx.astype(np.int32)][..., 0].mean() / 255.0)
+    assert abs(row["feature"][0] - exp) < 1e-5
