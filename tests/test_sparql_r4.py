@@ -413,3 +413,88 @@ def test_decode_pruning(kg):
         PX + "SELECT ?k (COUNT(?s) AS ?n) WHERE { ?s x:kind ?k } GROUP BY ?k ORDER BY ?k",
     )
     assert [r["k"] for r in agg.collect()] == ["http://x/A", "http://x/B"]
+
+
+# ---------------------------------------------------------------------------
+# property test: value ordering model (engine sort == Python model)
+# ---------------------------------------------------------------------------
+
+
+def test_value_ordering_property(spark):
+    """Seeded randomized check: the engine's term sort key (kind rank,
+    numeric value, dateTime instant, raw string) orders mixed term
+    populations exactly like the reference Python model."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from de_spark.query.sparql import _term_sort_cols
+
+    rng = random.Random(42)
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    terms_pop: list[str] = []
+    for _ in range(120):
+        pick = rng.randrange(5)
+        if pick == 0:
+            n = rng.randrange(-50, 500)
+            lex = f"{'0' * rng.randrange(3)}{abs(n)}" if n >= 0 else str(n)
+            dt = rng.choice(["integer", "decimal", "double"])
+            terms_pop.append(f'"{lex}"^^<{xsd}{dt}>')
+        elif pick == 1:
+            terms_pop.append(f"http://x/{rng.randrange(100)}")
+        elif pick == 2:
+            terms_pop.append(f"_:b{rng.randrange(50)}")
+        elif pick == 3:
+            terms_pop.append('"' + rng.choice(["apple", "Zebra", "10kg", ""]) + '"')
+        else:
+            ts = f"20{rng.randrange(10, 30)}-0{rng.randrange(1, 9)}-1{rng.randrange(0, 9)}T0{rng.randrange(0, 9)}:00:00"
+            terms_pop.append(f'"{ts}"^^<{xsd}dateTime>')
+
+    def model_key(t: str):
+        import re as _re
+        from datetime import datetime
+
+        rank = 2 if t.startswith('"') else (0 if t.startswith("_") else 1)
+        num = None
+        dtv = None
+        m = _re.match(r'^"((?:[^"\\]|\\.)*)"\^\^<([^>]*)>$', t)
+        if m:
+            dt = m.group(2)
+            if dt in (xsd + "integer", xsd + "decimal", xsd + "double"):
+                num = float(m.group(1))
+            elif dt == xsd + "dateTime":
+                dtv = datetime.fromisoformat(m.group(1)).timestamp()
+        # None sorts FIRST (Spark asc nulls-first): a null sort key
+        # precedes every non-null one
+        return (rank, num is not None, num or 0.0, dtv is not None, dtv or 0.0, t)
+
+    df = spark.createDataFrame([(t,) for t in terms_pop], ["v"])
+    got = [r["v"] for r in df.orderBy(*_term_sort_cols(F.col("v"))).collect()]
+    want = sorted(terms_pop, key=model_key)
+    assert got == want
+
+
+def test_nested_optional_with_leftjoin_condition(kg):
+    """A LeftJoin-condition OPTIONAL stacked after another OPTIONAL:
+    left rows already carrying nulls must anti-join null-safely (each
+    unmatched row re-enters exactly once, never duplicated)."""
+    q = PX + f"""
+    SELECT ?s ?w ?v2 WHERE {{
+      ?s x:val ?v .
+      OPTIONAL {{ ?s x:when ?w }}
+      OPTIONAL {{ ?s x:val ?v2 . FILTER(BOUND(?w) && ?v2 > "5"^^<{XSD}integer>) }}
+    }} ORDER BY ?s
+    """
+    rows = [
+        (r["s"].rsplit("/", 1)[1], r["w"] is not None, r["v2"])
+        for r in sparql_select(kg, q).collect()
+    ]
+    # s1 (9, has when) → v2 = "9"; s2 (10, has when) → v2 = "10";
+    # s3/s4/s5 have no ?w → condition fails → null v2, row kept ONCE
+    assert rows == [
+        ("s1", True, f'"9"^^<{XSD}integer>'),
+        ("s2", True, f'"10"^^<{XSD}integer>'),
+        ("s3", False, None),
+        ("s4", False, None),
+        ("s5", False, None),
+    ]
