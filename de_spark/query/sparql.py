@@ -425,9 +425,17 @@ def _call(e: Call, env: dict) -> tuple[Column, str]:
         )
     if name == "ENCODE_FOR_URI":
         c, t = arg(0)
-        # url_encode is form-encoding (space→'+'); RFC 3986 percent-
-        # encoding wants %20
-        return F.replace(F.url_encode(_as_str(c, t)), F.lit("+"), F.lit("%20")), "str"
+        # url_encode is form-encoding: space→'+' (RFC 3986 wants %20)
+        # and '~' →%7E ('~' is an RFC 3986 unreserved character that
+        # fn:encode-for-uri must leave unescaped — ADVICE r4)
+        return (
+            F.replace(
+                F.replace(F.url_encode(_as_str(c, t)), F.lit("+"), F.lit("%20")),
+                F.lit("%7E"),
+                F.lit("~"),
+            ),
+            "str",
+        )
     if name == "UUID":
         return F.concat(F.lit("urn:uuid:"), F.expr("uuid()")), "term"
     if name == "STRUUID":
@@ -540,7 +548,8 @@ def _push_filter_uid(kg: KnowledgeGraph, sols: DataFrame, e) -> DataFrame | None
     # rows SPARQL keeps (ADVICE r3)
     if expr_has(
         e,
-        lambda x: isinstance(x, Call) and x.name in ("BOUND", "COALESCE", "IF"),
+        lambda x: isinstance(x, Call)
+        and x.name in ("BOUND", "COALESCE", "IF", "STRUUID", "UUID", "RAND"),
     ):
         return None
     if expr_has(e, lambda x: isinstance(x, ExistsE)):
@@ -605,7 +614,10 @@ def _push_bind_uid(kg: KnowledgeGraph, df: DataFrame, node) -> DataFrame | None:
     same trade as _push_filter_uid, for Extend).  Returns None when
     not pushable: multi-var expressions, string-typed sources, and
     null-sensitive builtins (BOUND/COALESCE/IF must see the unbound
-    row itself, which the vocabulary never contains)."""
+    row itself, which the vocabulary never contains) and
+    non-deterministic builtins (STRUUID/UUID/RAND need a fresh value
+    PER SOLUTION; evaluated per vocabulary term, every solution
+    sharing a source term would get one value — ADVICE r4)."""
     vs = expr_vars(node.expr)
     if len(vs) != 1:
         return None
@@ -616,7 +628,10 @@ def _push_bind_uid(kg: KnowledgeGraph, df: DataFrame, node) -> DataFrame | None:
         return None
     if expr_has(
         node.expr,
-        lambda x: (isinstance(x, Call) and x.name in ("BOUND", "COALESCE", "IF"))
+        lambda x: (
+            isinstance(x, Call)
+            and x.name in ("BOUND", "COALESCE", "IF", "STRUUID", "UUID", "RAND")
+        )
         or isinstance(x, ExistsE),
     ):
         return None
@@ -983,10 +998,13 @@ def _term_sort_cols(c: Column) -> list[Column]:
     numeric literals by VALUE ("9" before "10") and dateTime/date
     literals by instant, then the raw term string (non-numeric
     literals, and a deterministic tiebreak among value-equal lexical
-    forms).  Unbound (NULL) sorts first via Spark's default
-    asc-nulls-first."""
+    forms).  Unbound (NULL) takes rank -1 explicitly — SPARQL §15.1
+    orders unbound LOWEST, below blank nodes (a null startswith
+    condition never matches, so without the explicit branch the
+    otherwise() would rank unbound with IRIs — ADVICE r4)."""
     rank = (
-        F.when(c.startswith('"'), F.lit(2))
+        F.when(c.isNull(), F.lit(-1))
+        .when(c.startswith('"'), F.lit(2))
         .when(c.startswith("_"), F.lit(0))
         .otherwise(F.lit(1))
     )
