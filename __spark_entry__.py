@@ -291,6 +291,29 @@ def _kg_sparql_optional_filter(spark, sf_dir):
     )
 
 
+def _kg_sparql_arith_types(spark, sf_dir):
+    """Numeric result TYPE promotion through the SPARQL text surface
+    (VERDICT r4 item 3): ?n is a data-borne xsd:integer, so ?n+1 must
+    render "…"^^xsd:integer, ?n/2 an xsd:decimal, and ?n*1.5e0 an
+    xsd:double — the oracle pins the exact lexical forms (the old
+    flatten-to-double rendering fails this).  Reference: spareval's
+    XPath operator-mapping promotion (src/sparql.rs:520)."""
+    from de_spark.query import sparql_select
+
+    kg = documents_kg(spark, sf_dir)
+    return sparql_select(
+        kg,
+        f"""
+        SELECT ?doc ?plus ?half ?dbl WHERE {{
+          ?doc <{CODE}nChars> ?n .
+          BIND(?n + 1 AS ?plus)
+          BIND(?n / 2 AS ?half)
+          BIND(?n * 1.5e0 AS ?dbl)
+        }}
+        """,
+    )
+
+
 def _kg_sparql_agg_distinct(spark, sf_dir):
     """SUM(DISTINCT expr) (ADVICE r3: the DISTINCT modifier must reach
     the executor, not parse-and-drop): per-doc sum of DISTINCT mention
@@ -575,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_order_agg": _kg_sparql_order_agg,
         "kg_sparql_optional_filter": _kg_sparql_optional_filter,
         "kg_sparql_agg_distinct": _kg_sparql_agg_distinct,
+        "kg_sparql_arith_types": _kg_sparql_arith_types,
         "kg_mentions_degree": _kg_mentions_degree,
         # relational operators
         "q1_pricing_summary": _q1_pricing_summary,
@@ -923,8 +947,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_agg_distinct": TRIPLES_SQL
         + f"""
         SELECT s AS d,
-               sum(DISTINCT (length(o) - {_WORD_PREFIX_LEN}))::DOUBLE AS suml
+               '"' || sum(DISTINCT (length(o) - {_WORD_PREFIX_LEN}))::BIGINT::VARCHAR
+                   || '"^^<{_XSD}integer>' AS suml
         FROM triples WHERE p = '{CODE}mentions' GROUP BY s
+        """,
+        # lexical forms pinned per XPath promotion: integer stays
+        # integer, int÷int is decimal (trailing .0 trimmed), ×double
+        # is double (Java double formatting keeps one fraction digit)
+        "kg_sparql_arith_types": f"""
+        SELECT '{ENT}doc/' || doc_id AS doc,
+               '"' || (n_chars + 1)::VARCHAR || '"^^<{_XSD}integer>' AS plus,
+               '"' || regexp_replace((n_chars / 2.0)::VARCHAR, '\\.0$', '')
+                   || '"^^<{_XSD}decimal>' AS half,
+               '"' || (n_chars * 1.5)::VARCHAR || '"^^<{_XSD}double>' AS dbl
+        FROM documents
         """,
         "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

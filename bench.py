@@ -3,12 +3,21 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "kg_build": {...}}
+   "queries": {name: sec, ...}, "sf": ..., "kg_build": {...},
+   "query_walls": {name: [sec, ...]}, "by_sf": {sf: {...}}}
 
 The headline number for the north_rule is kg_build: the end-to-end
 extract → term-uid → dictionary → encode → materialize pipeline over
 the synthetic source-code corpus at the matching SF, reported as
 triples/sec.  Relational/ops queries run over the driver testdata.
+
+Per-query timing is MIN-OF-N (default 3, $SPARK_GRAFT_BENCH_REPS):
+the host shows CPU-steal spikes up to 2.5×, so a single wall cannot
+distinguish a plan regression from steal (VERDICT r4 item 2); all
+walls are reported alongside the min.  The suite also runs at a
+second scale point (sf0.01) so per-query scaling slope is visible
+round-over-round, not just absolute wall (fixed job overhead
+dominates small queries at one SF and hides plan changes).
 """
 
 from __future__ import annotations
@@ -110,36 +119,69 @@ QUERY_NAMES = [
 ]
 
 
+def _bench_suite(spark, qs, sf_dir: str, reps: int) -> tuple[dict, dict]:
+    """Run every suite query ``reps`` times against ``sf_dir``;
+    returns ({name: min_sec}, {name: [walls...]}).  Caches persisted
+    by an operator (MinHash signatures, via ``handles``) are released
+    after each rep so the suite leaves no storage behind."""
+    from de_spark.ops import dedup as _dedup
+
+    mins: dict[str, float] = {}
+    walls: dict[str, list[float]] = {}
+    for name in QUERY_NAMES:
+        ws: list[float] = []
+        for _ in range(reps):
+            handles: list = []
+            t0 = time.monotonic()
+            if name == "dedup_minhash_lsh":
+                # the contract entry runs minhash in portable-md5 mode
+                # so DuckDB can verify it value-exactly; the bench
+                # times the PRODUCTION xxhash64 path (same plan,
+                # codegen'd hash)
+                df = _dedup.minhash_lsh_pairs(
+                    spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                    threshold=0.5,
+                    handles=handles,
+                )
+            else:
+                df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            ws.append(round(time.monotonic() - t0, 3))
+            for h in handles:
+                h.unpersist()
+        mins[name] = min(ws)
+        walls[name] = ws
+    return mins, walls
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("de_bench", cpus=cpus, shuffle_partitions=cpus)
 
     total0 = time.monotonic()
-    queries: dict[str, float] = {}
 
-    # KG construction headline
+    # KG construction headline (single run: a 40 s multi-stage job —
+    # steal averages out over the run, unlike sub-second queries)
     kg_build = bench_kg_build(spark, sf)
-    queries["kg_build"] = kg_build["wall_sec"]
 
     qs = entrymod.queries()
-    # the contract entry runs minhash in portable-md5 mode so DuckDB
-    # can verify it value-exactly; the bench times the PRODUCTION
-    # xxhash64 path (same plan, codegen'd hash)
-    from de_spark.ops import dedup as _dedup
+    by_sf: dict[str, dict] = {}
+    primary_mins, primary_walls = _bench_suite(spark, qs, sf_dir, reps)
+    by_sf[str(sf)] = {"queries": primary_mins, "walls": primary_walls}
 
-    qs = dict(qs)
-    qs["dedup_minhash_lsh"] = lambda s, d: _dedup.minhash_lsh_pairs(
-        s.read.parquet(f"{d}/documents.parquet"), threshold=0.5
-    )
-    for name in QUERY_NAMES:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.monotonic() - t0, 3)
+    # second scale point: per-query scaling slope, not just one wall
+    alt_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if os.path.isdir(alt_dir) and os.path.abspath(alt_dir) != os.path.abspath(
+        sf_dir.rstrip("/")
+    ):
+        alt_mins, alt_walls = _bench_suite(spark, qs, alt_dir, reps)
+        by_sf["0.01"] = {"queries": alt_mins, "walls": alt_walls}
 
     total = round(time.monotonic() - total0, 3)
+    queries = {"kg_build": kg_build["wall_sec"], **primary_mins}
     print(
         json.dumps(
             {
@@ -147,6 +189,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "query_walls": primary_walls,
+                "by_sf": by_sf,
+                "reps": reps,
                 "sf": sf,
                 "cpus": cpus,
                 "kg_build": kg_build,

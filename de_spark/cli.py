@@ -73,17 +73,19 @@ def cmd_query(args) -> int:
             # -o picks the serialization (NT default; solution formats
             # csv/tsv/json/xml fall back to NT like `de`'s default)
             from de_spark.sources.rdf_writers import (
-                rdfxml_string,
                 render_nquads,
                 render_trig_lines,
                 render_turtle_lines,
+                write_rdfxml,
             )
             from pyspark.sql import functions as F
 
             is_describe = bool(_re.search(r"\bDESCRIBE\b", q, _re.I))
             g = sparql_describe(kg, q) if is_describe else sparql_construct(kg, q)
             if args.output == "rdfxml":
-                print(rdfxml_string(g))
+                # streamed straight to stdout — constant driver memory
+                write_rdfxml(g, sys.stdout)
+                print()
                 continue
             line_renderers = {
                 "nq": render_nquads,

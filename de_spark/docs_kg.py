@@ -25,6 +25,7 @@ from de_spark.stats import void_stats
 ENT = "http://example.org/"
 CODE = "http://example.org/code#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
 
 MIN_WORD_LEN = 5
 
@@ -46,6 +47,17 @@ def documents_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_src = tp(doc_iri, CODE + "source", src_iri, "iri")
     src_type = tp(src_iri, RDF_TYPE, F.lit(CODE + "Source"), "iri").distinct()
     doc_lang = tp(doc_iri, CODE + "lang", F.concat(F.lit('"'), F.col("lang"), F.lit('"')), "literal")
+    # typed integer literal per doc (the analog of the reference
+    # fixtures' typed integers, tests/resources/superhero.ttl heights)
+    # — exercises numeric value semantics + type promotion end-to-end
+    doc_nchars = tp(
+        doc_iri,
+        CODE + "nChars",
+        F.concat(
+            F.lit('"'), F.col("n_chars").cast("string"), F.lit(f'"^^<{XSD}integer>')
+        ),
+        "literal",
+    )
 
     words = docs.select(
         doc_iri.alias("s"),
@@ -59,7 +71,13 @@ def documents_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("iri").alias("o_kind"),
         "graph",
     )
-    return doc_type.unionByName(doc_src).unionByName(src_type).unionByName(doc_lang).unionByName(mentions)
+    return (
+        doc_type.unionByName(doc_src)
+        .unionByName(src_type)
+        .unionByName(doc_lang)
+        .unionByName(doc_nchars)
+        .unionByName(mentions)
+    )
 
 
 _KG_CACHE: dict[str, KnowledgeGraph] = {}
@@ -108,6 +126,10 @@ triples AS (
   UNION ALL
   SELECT '{ENT}doc/' || doc_id, '{CODE}lang',
          '"' || lang || '"', 'doc:///' || source
+  FROM documents
+  UNION ALL
+  SELECT '{ENT}doc/' || doc_id, '{CODE}nChars',
+         '"' || n_chars::VARCHAR || '"^^<{XSD}integer>', 'doc:///' || source
   FROM documents
   UNION ALL
   SELECT '{ENT}doc/' || doc_id, '{CODE}mentions',

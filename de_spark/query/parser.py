@@ -71,6 +71,10 @@ class TermE:
 class NumE:
     value: float
     is_int: bool
+    # lexical kind per the SPARQL grammar: INTEGER → xsd:integer,
+    # DECIMAL ("2.5") → xsd:decimal, DOUBLE ("2.5e0") → xsd:double.
+    # "" (older constructors) = derive from is_int (int else double).
+    kind: str = ""
 
 
 @dataclass(frozen=True)
@@ -755,7 +759,10 @@ class Parser:
             return VarE(t.value[1:])
         if t.kind == "NUM":
             self.next()
-            return NumE(float(t.value), "." not in t.value and "e" not in t.value.lower())
+            has_exp = "e" in t.value.lower()
+            is_int = "." not in t.value and not has_exp
+            kind = "int" if is_int else ("dbl" if has_exp else "dec")
+            return NumE(float(t.value), is_int, kind)
         if t.kind == "LIT":
             self.next()
             return TermE(self._literal_term(t.value))

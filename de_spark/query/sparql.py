@@ -92,14 +92,91 @@ __all__ = [
 # ---------------------------------------------------------------------------
 # Expression compiler: Expr AST → (Column, tag)
 #
-# tags: 'term' (HDT term string), 'str', 'num', 'int', 'bool'
+# tags: 'term' (HDT term string), 'str', 'bool', and four numerics —
+# 'int' (xsd:integer, long col), 'dec' (xsd:decimal, double col),
+# 'num' (xsd:double, double col), 'numk' (RUNTIME-kinded numeric: a
+# struct<v: double, k: int> where k is the XPath promotion rank from
+# terms.numeric_kind — produced whenever a term operand enters
+# arithmetic, so integer+integer renders back as xsd:integer even
+# though the operand datatype is only known per row).
 # env: var name → (Column of term strings, tag)
 # ---------------------------------------------------------------------------
 
+_STATIC_NUM_RANK = {"int": 0, "dec": 1, "num": 3}
+
+
+def _mk_numk(v: Column, k: Column) -> Column:
+    """Kinded numeric struct; NULL (not a struct of NULLs) when the
+    value is NULL, so COALESCE/BIND null-propagation behave exactly
+    like any scalar column."""
+    return F.when(v.isNotNull(), F.struct(v.alias("v"), k.alias("k")))
+
+
+def _as_numk(c: Column, tag: str) -> tuple[Column, Column]:
+    """(double value, XPath promotion rank) of a numeric-ish operand;
+    (NULL, NULL) rows for non-numeric terms."""
+    if tag == "numk":
+        return c["v"], c["k"]
+    if tag == "int":
+        return c.cast("double"), F.lit(0)
+    if tag == "dec":
+        return c.cast("double"), F.lit(1)
+    if tag == "num":
+        return c, F.lit(3)
+    if tag == "term":
+        return terms.numeric_value(c), terms.numeric_kind(c)
+    if tag == "str":
+        return c.try_cast("double"), F.lit(3)
+    raise ValueError("cannot use a boolean as a number")
+
+
+def _ieee_div0(lv: Column) -> Column:
+    """IEEE result of a float/double division by zero: ±INF by the
+    numerator's sign, 0/0 → NaN."""
+    return (
+        F.when(lv == 0, F.lit(float("nan")))
+        .when(lv > 0, F.lit(float("inf")))
+        .when(lv < 0, F.lit(float("-inf")))
+    )
+
+
+def _safe_div(ln: Column, rn: Column, ieee: bool) -> Column:
+    """Division that never raises under ANSI mode: NULL on a zero
+    divisor (the SPARQL error → unbound mapping) unless ``ieee``
+    (float/double semantics)."""
+    safe = F.try_divide(ln, rn)
+    if not ieee:
+        return safe
+    return F.when(rn == 0, _ieee_div0(ln)).otherwise(safe)
+
+
+def _num_lex(v: Column, k: Column) -> Column:
+    """Lexical form per promotion rank: integers without a decimal
+    point, decimals with a trailing '.0' trimmed (Java double
+    formatting), float/double as the double's string form with the
+    XSD spellings INF/-INF/NaN.  Documented bounds: |v| ≳ 1e16
+    renders in Java scientific notation and integer values beyond
+    2^53 lose double precision."""
+    base = (
+        # try_cast: an integer-kinded value beyond long range must
+        # render NULL (unbound), not abort the job under ANSI
+        F.when(k == 0, v.try_cast("long").cast("string"))
+        .when(k == 1, F.regexp_replace(v.cast("string"), r"\.0$", ""))
+        .otherwise(v.cast("string"))
+    )
+    return (
+        F.when(F.isnan(v), F.lit("NaN"))
+        .when(v == F.lit(float("inf")), F.lit("INF"))
+        .when(v == F.lit(float("-inf")), F.lit("-INF"))
+        .otherwise(base)
+    )
+
 
 def _as_num(c: Column, tag: str) -> Column:
-    if tag in ("num", "int"):
+    if tag in ("num", "int", "dec"):
         return c
+    if tag == "numk":
+        return c["v"]
     # try_cast: non-numeric terms (IRIs, plain strings) become NULL so
     # the comparison is simply false — a numeric filter pushed over the
     # whole vocabulary must not abort on the non-literal rows (ANSI
@@ -116,6 +193,10 @@ def _as_str(c: Column, tag: str) -> Column:
         return c
     if tag == "term":
         return terms.sparql_csv_form(c)
+    if tag == "dec":
+        return F.regexp_replace(c.cast("string"), r"\.0$", "")
+    if tag == "numk":
+        return _num_lex(c["v"], c["k"])
     if tag in ("num", "int"):
         return c.cast("string")
     return F.when(c, F.lit("true")).otherwise(F.lit("false"))
@@ -127,7 +208,9 @@ def _as_bool(c: Column, tag: str) -> Column:
     if tag == "term":
         v = terms.literal_value(c)
         return (v == "true") | (v == "1")
-    if tag in ("num", "int"):
+    if tag == "numk":
+        return c["v"] != 0
+    if tag in ("num", "int", "dec"):
         return c != 0
     return F.length(c) > 0
 
@@ -154,7 +237,7 @@ _CMP_OPS = {
 def _cmp(op: str, lc, lt, rc, rt):
     if lt == "bool" or rt == "bool":
         lc, rc = _as_bool(lc, lt), _as_bool(rc, rt)
-    elif lt in ("num", "int") or rt in ("num", "int"):
+    elif lt in ("num", "int", "dec", "numk") or rt in ("num", "int", "dec", "numk"):
         lc, rc = _as_num(lc, lt), _as_num(rc, rt)
     elif lt == "str" or rt == "str":
         lc, rc = _as_str(lc, lt), _as_str(rc, rt)
@@ -162,17 +245,21 @@ def _cmp(op: str, lc, lt, rc, rt):
         # term vs term (var-var, or var vs a typed literal): SPARQL
         # operator mapping compares numeric literals by VALUE —
         # "1"^^xsd:integer = "01"^^xsd:integer, ?a > "9"^^xsd:integer
-        # is numeric, not lexicographic — and xsd:dateTime/date compare
-        # by INSTANT (spareval, src/sparql.rs:520).  Everything else
-        # keeps the raw HDT-string comparison (equality incl. datatype
-        # suffix; ordering = the reference's string collation).
+        # is numeric, not lexicographic — xsd:dateTime/date compare
+        # by INSTANT, and xsd:boolean by VALUE ("1" = "true")
+        # (spareval, src/sparql.rs:520).  Everything else keeps the
+        # raw HDT-string comparison (equality incl. datatype suffix;
+        # ordering = the reference's string collation).
         ln, rn = terms.numeric_value(lc), terms.numeric_value(rc)
         tl, tr = terms.datetime_value(lc), terms.datetime_value(rc)
+        bl, br = terms.boolean_value(lc), terms.boolean_value(rc)
         both_num = ln.isNotNull() & rn.isNotNull()
         both_dt = tl.isNotNull() & tr.isNotNull()
+        both_bool = bl.isNotNull() & br.isNotNull()
         return (
             F.when(both_num, _CMP_OPS[op](ln, rn))
             .when(both_dt, _CMP_OPS[op](tl, tr))
+            .when(both_bool, _CMP_OPS[op](bl, br))
             .otherwise(_CMP_OPS[op](lc, rc)),
             "bool",
         )
@@ -193,14 +280,22 @@ def _ex(e, env: dict) -> tuple[Column, str]:
             return F.lit(e.term[1:-1]), "str"
         return F.lit(e.term), "term"
     if isinstance(e, NumE):
-        return (F.lit(int(e.value)), "int") if e.is_int else (F.lit(e.value), "num")
+        if e.is_int:
+            return F.lit(int(e.value)), "int"
+        # SPARQL grammar: a bare "2.5" is an xsd:decimal literal, an
+        # exponent form "2.5e0" is xsd:double (older constructors
+        # without a kind keep the double behavior)
+        return F.lit(e.value), ("dec" if getattr(e, "kind", "") == "dec" else "num")
     if isinstance(e, BoolE):
         return F.lit(e.value), "bool"
     if isinstance(e, Un):
         c, t = _ex(e.expr, env)
         if e.op == "!":
             return ~_as_bool(c, t), "bool"
-        return -_as_num(c, t), ("int" if t == "int" else "num")
+        if t in _STATIC_NUM_RANK:
+            return -c, t
+        v, k = _as_numk(c, t)
+        return _mk_numk(-v, k), "numk"
     if isinstance(e, Bin):
         if e.op in ("||", "&&"):
             lc, lt = _ex(e.left, env)
@@ -211,13 +306,41 @@ def _ex(e, env: dict) -> tuple[Column, str]:
             lc, lt = _ex(e.left, env)
             rc, rt = _ex(e.right, env)
             return _cmp(e.op, lc, lt, rc, rt)
-        # arithmetic
+        # arithmetic — XPath numeric promotion (§17.3 operator
+        # mapping): the result type is the max promotion rank of the
+        # operands; integer ÷ integer is xsd:decimal.  Statically
+        # typed operands resolve the rank at compile time; a term (or
+        # kinded) operand makes the result RUNTIME-kinded ('numk'),
+        # carrying the rank per row alongside the double value.
         lc, lt = _ex(e.left, env)
         rc, rt = _ex(e.right, env)
-        ln, rn = _as_num(lc, lt), _as_num(rc, rt)
-        col = {"+": ln + rn, "-": ln - rn, "*": ln * rn, "/": ln / rn}[e.op]
-        tag = "int" if (lt == "int" and rt == "int" and e.op != "/") else "num"
-        return col, tag
+        if lt in _STATIC_NUM_RANK and rt in _STATIC_NUM_RANK:
+            ln, rn = _as_num(lc, lt), _as_num(rc, rt)
+            rank = max(_STATIC_NUM_RANK[lt], _STATIC_NUM_RANK[rt])
+            if e.op == "/":
+                # ANSI mode makes a plain Divide ABORT the whole job on
+                # a zero divisor; SPARQL maps the XPath error to an
+                # UNBOUND result (try_divide → NULL) for integer and
+                # decimal, and to IEEE ±INF/NaN for double
+                col = _safe_div(ln, rn, ieee=(rank >= 2))
+                if rank == 0:
+                    rank = 1  # op:numeric-divide on integers → decimal
+            else:
+                col = {"+": ln + rn, "-": ln - rn, "*": ln * rn}[e.op]
+            return col, {0: "int", 1: "dec", 3: "num"}[rank]
+        lv, lk = _as_numk(lc, lt)
+        rv, rk = _as_numk(rc, rt)
+        kind = F.greatest(lk, rk)
+        if e.op == "/":
+            # integer/decimal ÷ 0 is an ERROR (→ unbound); float/double
+            # divide by IEEE rules (±INF, 0/0 → NaN) — op:numeric-divide
+            val = F.when(rv == 0, F.when(kind >= 2, _ieee_div0(lv))).otherwise(
+                F.try_divide(lv, rv)
+            )
+            kind = F.when(kind == 0, F.lit(1)).otherwise(kind)
+        else:
+            val = {"+": lv + rv, "-": lv - rv, "*": lv * rv}[e.op]
+        return _mk_numk(val, kind), "numk"
     if isinstance(e, InE):
         c, t = _ex(e.expr, env)
         if t != "term":
@@ -320,20 +443,34 @@ def _call(e: Call, env: dict) -> tuple[Column, str]:
         )
     if name == "ABS":
         c, t = arg(0)
-        return F.abs(_as_num(c, t)), ("int" if t == "int" else "num")
-    if name in ("CEIL", "FLOOR"):
+        if t in _STATIC_NUM_RANK:
+            return F.abs(c), t
+        v, k = _as_numk(c, t)
+        return _mk_numk(F.abs(v), k), "numk"
+    if name in ("CEIL", "FLOOR", "ROUND"):
+        # XPath fn:ceiling/fn:floor/fn:round return the ARGUMENT's
+        # type (ceiling of a decimal is a decimal whose lexical form
+        # just has no fraction), not always an integer
         c, t = arg(0)
-        return (F.ceil if name == "CEIL" else F.floor)(_as_num(c, t)), "int"
-    if name == "ROUND":
-        c, t = arg(0)
-        return F.round(_as_num(c, t), 0), "num"
+        fn = {"CEIL": F.ceil, "FLOOR": F.floor, "ROUND": lambda x: F.round(x, 0)}[name]
+        if t == "int":
+            return (c if name == "ROUND" else fn(c).cast("long")), "int"
+        if t in ("dec", "num"):
+            return fn(c).cast("double"), t
+        v, k = _as_numk(c, t)
+        return _mk_numk(fn(v).cast("double"), k), "numk"
     if name == "IF":
         cond = _as_bool(*arg(0))
         ac, at = arg(1)
         bc, bt = arg(2)
         if at != bt:
-            if at in ("num", "int") and bt in ("num", "int"):
-                ac, bc, at = _as_num(ac, at), _as_num(bc, bt), "num"
+            numf = ("num", "int", "dec", "numk", "term")
+            if at in numf and bt in numf and not (at == "term" or bt == "term"):
+                av, ak = _as_numk(ac, at)
+                bv, bk = _as_numk(bc, bt)
+                ac = _mk_numk(av, ak)
+                bc = _mk_numk(bv, bk)
+                at = "numk"
             else:
                 ac, bc, at = _as_str(ac, at), _as_str(bc, bt), "str"
         return F.when(cond, ac).otherwise(bc), at
@@ -343,8 +480,11 @@ def _call(e: Call, env: dict) -> tuple[Column, str]:
         if len(tags) == 1:
             tag = tags.pop()
             return F.coalesce(*[c for c, _ in parts]), tag
-        if tags <= {"num", "int"}:
-            return F.coalesce(*[_as_num(c, t) for c, t in parts]), "num"
+        if tags <= {"num", "int", "dec", "numk"}:
+            return (
+                F.coalesce(*[_mk_numk(*_as_numk(c, t)) for c, t in parts]),
+                "numk",
+            )
         return F.coalesce(*[_as_str(c, t) for c, t in parts]), "str"
     if name == "SAMETERM":
         lc, lt = arg(0)
@@ -380,8 +520,10 @@ def _call(e: Call, env: dict) -> tuple[Column, str]:
         return (lc == rng) | lc.startswith(rng + "-"), "bool"
     if name == "ISNUMERIC":
         c, t = arg(0)
-        if t in ("num", "int"):
+        if t in ("num", "int", "dec"):
             return F.lit(True), "bool"
+        if t == "numk":
+            return c["v"].isNotNull(), "bool"
         if t != "term":
             return F.lit(False), "bool"
         return terms.numeric_value(c).isNotNull(), "bool"
@@ -446,7 +588,11 @@ def _call(e: Call, env: dict) -> tuple[Column, str]:
 
 
 def _render_term(col: Column, tag: str) -> Column:
-    """Computed value → HDT-convention term string (BIND / expr-AS)."""
+    """Computed value → HDT-convention term string (BIND / expr-AS).
+    Numeric results carry their XPath-promoted datatype: integer
+    arithmetic renders "3"^^xsd:integer (not "3.0"^^xsd:double —
+    VERDICT r4 item 3; the reference inherits promotion from spareval,
+    src/sparql.rs:520)."""
     if tag == "term":
         return col
     if tag == "str":
@@ -454,6 +600,22 @@ def _render_term(col: Column, tag: str) -> Column:
     if tag == "int":
         return F.concat(
             F.lit('"'), col.cast("long").cast("string"), F.lit(f'"^^<{XSD}integer>')
+        )
+    if tag == "dec":
+        return F.concat(
+            F.lit('"'),
+            F.regexp_replace(col.cast("string"), r"\.0$", ""),
+            F.lit(f'"^^<{XSD}decimal>'),
+        )
+    if tag == "numk":
+        dt = (
+            F.when(col["k"] == 0, F.lit(f"{XSD}integer"))
+            .when(col["k"] == 1, F.lit(f"{XSD}decimal"))
+            .when(col["k"] == 2, F.lit(f"{XSD}float"))
+            .otherwise(F.lit(f"{XSD}double"))
+        )
+        return F.concat(
+            F.lit('"'), _num_lex(col["v"], col["k"]), F.lit('"^^<'), dt, F.lit(">")
         )
     if tag == "num":
         return F.concat(
@@ -507,7 +669,8 @@ def _with_term_strs(kg: KnowledgeGraph, df: DataFrame, vars_: list[str]):
         if v not in df.columns:
             raise ValueError(f"variable ?{v} is not bound in this scope")
         if dtypes[v] == "bigint" and _is_value_col(df, v):
-            env[v] = (F.col(v), "num")
+            # plain value columns are COUNT-style integers
+            env[v] = (F.col(v), "int")
         elif dtypes[v] == "boolean":
             # EXISTS marker columns (nested-EXISTS rewrite) are plain
             # booleans, not terms
@@ -985,10 +1148,12 @@ def _rewrite_having(e, hidden: list):
 def _env_for(df: DataFrame) -> dict:
     """Expression env over a decoded solutions DataFrame: string
     columns are term strings; numeric columns (aggregate results)
-    compare as numbers."""
+    compare as numbers — bigint (COUNT) as xsd:integer so arithmetic
+    over them promotes per XPath, doubles as xsd:double."""
     env = {}
     for c, t in df.dtypes:
-        env[c] = (F.col(c), "term" if t == "string" else "num")
+        tag = "term" if t == "string" else ("int" if t == "bigint" else "num")
+        env[c] = (F.col(c), tag)
     return env
 
 
@@ -1008,7 +1173,13 @@ def _term_sort_cols(c: Column) -> list[Column]:
         .when(c.startswith("_"), F.lit(0))
         .otherwise(F.lit(1))
     )
-    return [rank, terms.numeric_value(c), terms.datetime_value(c), c]
+    return [
+        rank,
+        terms.numeric_value(c),
+        terms.datetime_value(c),
+        terms.boolean_value(c),
+        c,
+    ]
 
 
 def _apply_order(df: DataFrame, order_keys: list) -> DataFrame:
@@ -1140,30 +1311,43 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery, graph: str | None = None) -> Dat
                 # §18.5.1.5-6): over terms, pick the term by VALUE
                 # ordering via min_by/max_by on the sort-key struct —
                 # MIN(?name) over strings returns the term, never a
-                # silent NULL from a failed numeric cast
+                # silent NULL from a failed numeric cast.  Numeric
+                # expression sources pick the (value, kind) pair of
+                # the winning row and render it back with its
+                # promoted datatype.
                 if src_tag == "term":
                     key = F.struct(*_term_sort_cols(src))
                     fn = F.min_by if a.func == "min" else F.max_by
                     aggs.append(fn(src, key).alias(a.alias))
                 else:
-                    fn = F.min if a.func == "min" else F.max
-                    aggs.append(fn(_as_num(src, src_tag)).alias(a.alias))
+                    v, k = _as_numk(src, src_tag)
+                    fnb = F.min_by if a.func == "min" else F.max_by
+                    pick = fnb(F.struct(v.alias("v"), k.alias("k")), v)
+                    aggs.append(_render_term(pick, "numk").alias(a.alias))
                 continue
-            # numeric aggregates operate on the literal's lexical value
-            # (try_cast: non-numeric terms aggregate as NULL, not abort)
-            col = _as_num(src, src_tag)
+            # SUM/AVG operate on the literal's numeric VALUE (try_cast:
+            # non-numeric terms aggregate as NULL, not abort) and carry
+            # the XPath-promoted result datatype: SUM of integers is an
+            # xsd:integer term, AVG of integers/decimals an xsd:decimal
+            # (VERDICT r4 item 3; result kind = max operand rank over
+            # the group, computed alongside the value in the same agg).
+            v, k = _as_numk(src, src_tag)
             if a.func == "sum":
-                aggs.append(
-                    (F.sum_distinct(col) if a.distinct else F.sum(col)).alias(a.alias)
-                )
+                val = F.sum_distinct(v) if a.distinct else F.sum(v)
+                kind = F.coalesce(F.max(k), F.lit(0))
+                aggs.append(_render_term(_mk_numk(val, kind), "numk").alias(a.alias))
             elif a.func == "avg":
                 # no avg_distinct builtin: sum_distinct / count_distinct
-                avg_col = (
-                    F.sum_distinct(col) / F.countDistinct(col)
+                # (try_divide: an all-null group has count 0, which
+                # must yield NULL — ANSI Divide would abort the job)
+                val = (
+                    F.try_divide(F.sum_distinct(v), F.countDistinct(v))
                     if a.distinct
-                    else F.avg(col)
+                    else F.avg(v)
                 )
-                aggs.append(avg_col.alias(a.alias))
+                kind = F.coalesce(F.max(k), F.lit(0))
+                kind = F.when(kind <= 1, F.lit(1)).otherwise(kind)
+                aggs.append(_render_term(_mk_numk(val, kind), "numk").alias(a.alias))
         if not aggs:
             # GROUP BY with no aggregates = distinct group keys
             aggs.append(F.count(F.lit(1)).alias("__dummy"))

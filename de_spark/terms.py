@@ -68,10 +68,58 @@ def numeric_value(term: Column) -> Column:
     """Numeric VALUE of a literal with a numeric XSD datatype, else
     NULL — the SPARQL 1.1 operator-mapping view of a term (two
     lexically different integers, "1" and "01", compare equal by
-    value; the reference inherits this from oxigraph spareval)."""
+    value; the reference inherits this from oxigraph spareval).
+    XSD spells the special float/double values "INF"/"-INF"/"NaN";
+    the JVM cast only accepts "Infinity"/"NaN", so INF maps
+    explicitly."""
+    lv = literal_value(term)
+    v = (
+        F.when(lv == "INF", F.lit(float("inf")))
+        .when(lv == "-INF", F.lit(float("-inf")))
+        .otherwise(lv.try_cast("double"))
+    )
+    return F.when(literal_datatype(term).isin(_NUMERIC_DTS), v)
+
+
+# XPath numeric promotion ranks (op:numeric-* resolution order:
+# integer family → decimal → float → double); rank of the RESULT of an
+# arithmetic op is the max of its operand ranks.
+_INT_DTS = [
+    XSD + n
+    for n in (
+        "integer", "long", "int", "short", "byte", "nonNegativeInteger",
+        "nonPositiveInteger", "negativeInteger", "positiveInteger",
+        "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte",
+    )
+]
+
+
+def numeric_kind(term: Column) -> Column:
+    """Promotion rank of a numeric literal's datatype: 0 = integer
+    family, 1 = xsd:decimal, 2 = xsd:float, 3 = xsd:double; NULL for
+    non-numeric terms.  Drives SPARQL/XPath numeric result typing
+    (integer+integer→integer, integer÷integer→decimal — the reference
+    inherits this from spareval's operator mapping, src/sparql.rs:520)."""
+    dt = literal_datatype(term)
+    return (
+        F.when(dt.isin(_INT_DTS), F.lit(0))
+        .when(dt == XSD + "decimal", F.lit(1))
+        .when(dt == XSD + "float", F.lit(2))
+        .when(dt == XSD + "double", F.lit(3))
+    )
+
+
+def boolean_value(term: Column) -> Column:
+    """Boolean VALUE of an xsd:boolean literal — both canonical and
+    numeral lexical forms ("true"/"1", "false"/"0") map to the same
+    value, so "1"^^xsd:boolean = "true"^^xsd:boolean under the
+    operator mapping; NULL for other terms (or invalid lexicals)."""
+    lv = literal_value(term)
     return F.when(
-        literal_datatype(term).isin(_NUMERIC_DTS),
-        literal_value(term).try_cast("double"),
+        literal_datatype(term) == XSD + "boolean",
+        F.when(lv.isin("true", "1"), F.lit(True)).when(
+            lv.isin("false", "0"), F.lit(False)
+        ),
     )
 
 

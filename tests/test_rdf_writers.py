@@ -69,3 +69,40 @@ def test_turtle_grouping_parses_back(spark):
     triples = parse_turtle("\n".join(lines))
     orig = {(r["s"], r["p"], r["o"]) for r in raw.collect()}
     assert set(triples) == orig
+
+
+def test_rdfxml_streams_per_description(spark):
+    """write_rdfxml must emit description-by-description (constant
+    driver memory — VERDICT r4 item 5), never join the whole document
+    into one string: the sink sees one write per description plus
+    header/footer, and no single write carries more than one line."""
+    from pyspark.sql import functions as F
+
+    from de_spark.sources.rdf_writers import write_rdfxml
+
+    n = 20_000  # ≫ any driver-side batch
+    raw = spark.range(n).select(
+        F.concat(F.lit("http://x/s"), F.col("id")).alias("s"),
+        F.lit("http://x/p").alias("p"),
+        F.concat(F.lit('"v'), F.col("id"), F.lit('"')).alias("o"),
+    )
+
+    class Sink:
+        def __init__(self):
+            self.writes = 0
+            self.max_write = 0
+            self.total = 0
+
+        def write(self, s):
+            self.writes += 1
+            self.max_write = max(self.max_write, len(s))
+            self.total += len(s)
+
+    sink = Sink()
+    count = write_rdfxml(raw, sink)
+    assert count == n
+    # one description per write (plus header/footer/newlines): a
+    # whole-document join would show up as one giant write
+    assert sink.writes >= n
+    assert sink.max_write < 200
+    assert sink.total > n * 40

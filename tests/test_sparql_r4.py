@@ -134,9 +134,10 @@ def test_select_expr_with_group_by(kg):
     WHERE { ?s x:kind ?k } GROUP BY ?k ORDER BY ?k
     """
     rows = [(r["k"], r["n"], r["n10"]) for r in sparql_select(kg, q).collect()]
+    # COUNT is an integer, so ?n * 10 stays xsd:integer (XPath promotion)
     assert rows == [
-        ("http://x/A", 2, f'"20.0"^^<{XSD}double>'),
-        ("http://x/B", 3, f'"30.0"^^<{XSD}double>'),
+        ("http://x/A", 2, f'"20"^^<{XSD}integer>'),
+        ("http://x/B", 3, f'"30"^^<{XSD}integer>'),
     ]
 
 
@@ -151,7 +152,10 @@ def test_distinct_aggregates(kg):
     WHERE { ?s x:val ?v }
     """
     r = sparql_select(kg, q).collect()[0]
-    assert (r["t"], r["td"], r["ad"]) == (24.0, 22.0, 5.5)
+    # SUM of integers → xsd:integer, AVG → xsd:decimal (XPath promotion)
+    assert (r["t"], r["td"], r["ad"]) == (
+        f'"24"^^<{XSD}integer>', f'"22"^^<{XSD}integer>', f'"5.5"^^<{XSD}decimal>'
+    )
     q2 = PX + """
     SELECT (GROUP_CONCAT(DISTINCT ?k ; SEPARATOR=",") AS ?ks)
     WHERE { ?s x:kind ?k }

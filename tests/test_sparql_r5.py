@@ -28,6 +28,9 @@ NT = f"""\
 <http://x/s4> <http://x/f> "0"^^<{XSD}boolean> .
 _:b1 <http://x/p> <http://x/o1> .
 <http://x/s1> <http://x/p> <http://x/o2> .
+<http://x/t1> <http://x/w> "2024-01-01T12:00:00Z"^^<{XSD}dateTime> .
+<http://x/t2> <http://x/w> "2024-01-01T13:00:00+02:00"^^<{XSD}dateTime> .
+<http://x/t3> <http://x/w> "2024-01-01T11:30:00"^^<{XSD}dateTime> .
 """
 
 PX = "PREFIX x: <http://x/>\n"
@@ -88,3 +91,142 @@ def test_encode_for_uri_tilde(kg):
         one(kg, 'SELECT ?e WHERE { BIND(ENCODE_FOR_URI("~a b/c") AS ?e) }', "e")
         == '"~a%20b%2Fc"'
     )
+
+
+# ---------------------------------------------------------------------------
+# numeric result type promotion (VERDICT r4 item 3)
+# ---------------------------------------------------------------------------
+
+
+def binds(kg, q, col):
+    return [r[col] for r in sparql_select(kg, PX + q).collect()]
+
+
+def test_integer_arithmetic_stays_integer(kg):
+    q = "SELECT ?s ?p WHERE { ?s x:n ?v . BIND(?v + 1 AS ?p) } ORDER BY ?s"
+    assert binds(kg, q, "p") == [
+        f'"3"^^<{XSD}integer>',
+        f'"6"^^<{XSD}integer>',
+        f'"8"^^<{XSD}integer>',
+    ]
+
+
+def test_integer_division_is_decimal_and_div0_unbound(kg):
+    """op:numeric-divide: integer ÷ integer → xsd:decimal; division by
+    zero is a SPARQL expression ERROR → unbound (under ANSI mode a
+    plain Divide would abort the whole job)."""
+    q = (
+        "SELECT ?s ?h ?z WHERE { ?s x:n ?v . "
+        "BIND(?v / 2 AS ?h) BIND(?v / 0 AS ?z) } ORDER BY ?s"
+    )
+    rows = sparql_select(kg, PX + q).collect()
+    assert [r["h"] for r in rows] == [
+        f'"1"^^<{XSD}decimal>',
+        f'"2.5"^^<{XSD}decimal>',
+        f'"3.5"^^<{XSD}decimal>',
+    ]
+    assert [r["z"] for r in rows] == [None, None, None]
+
+
+def test_mixed_kind_promotion(kg):
+    q = """
+    SELECT ?a ?b ?c WHERE {
+      ?s x:n ?v . ?s x:d ?d . ?s x:x ?x .
+      BIND(?v + ?d AS ?a)
+      BIND(?v * ?x AS ?b)
+      BIND(?v + 0.5 AS ?c)
+    }
+    """
+    rows = sparql_select(kg, PX + q).collect()
+    assert len(rows) == 1  # only s1 has all three
+    r = rows[0]
+    assert r["a"] == f'"4.5"^^<{XSD}decimal>'  # integer + decimal
+    assert r["b"] == f'"3.0"^^<{XSD}double>'   # integer × double
+    assert r["c"] == f'"2.5"^^<{XSD}decimal>'  # integer + decimal literal
+
+
+def test_static_literal_kinds(kg):
+    q = """
+    SELECT ?a ?b ?c ?d WHERE {
+      BIND(2.5 AS ?a) BIND(2.5e0 AS ?b) BIND(4 / 2 AS ?c) BIND(3 + 4 AS ?d)
+    }
+    """
+    r = sparql_select(kg, PX + q).collect()[0]
+    assert r["a"] == f'"2.5"^^<{XSD}decimal>'  # bare decimal literal
+    assert r["b"] == f'"2.5"^^<{XSD}double>'   # exponent form
+    assert r["c"] == f'"2"^^<{XSD}decimal>'    # int ÷ int → decimal
+    assert r["d"] == f'"7"^^<{XSD}integer>'
+
+
+def test_double_division_ieee(kg):
+    # float/double division follows IEEE: x/0 → INF (XSD lexical form)
+    assert (
+        one(kg, "SELECT ?i WHERE { ?s x:x ?v . BIND(?v / 0.0e0 AS ?i) }", "i")
+        == f'"INF"^^<{XSD}double>'
+    )
+
+
+def test_inf_literal_compares_by_value(kg):
+    # "INF"^^xsd:double is a valid XSD lexical the JVM cast rejects —
+    # numeric_value maps it explicitly, so value comparison works
+    q = f'SELECT ?s WHERE {{ ?s x:x ?v . FILTER(?v < "INF"^^<{XSD}double>) }}'
+    assert len(sparql_select(kg, PX + q).collect()) == 1
+    q2 = f'SELECT ?s WHERE {{ ?s x:x ?v . FILTER(?v < "-INF"^^<{XSD}double>) }}'
+    assert len(sparql_select(kg, PX + q2).collect()) == 0
+
+
+def test_sum_of_decimals_is_decimal(kg):
+    assert (
+        one(kg, "SELECT (SUM(?d) AS ?t) WHERE { ?s x:d ?d }", "t")
+        == f'"3"^^<{XSD}decimal>'
+    )
+    assert (
+        one(kg, "SELECT (SUM(?v) AS ?t) WHERE { ?s x:n ?v }", "t")
+        == f'"14"^^<{XSD}integer>'
+    )
+
+
+# ---------------------------------------------------------------------------
+# boolean value semantics (VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_boolean_value_equality(kg):
+    """"1"^^xsd:boolean and "true"^^xsd:boolean are the same VALUE
+    under the operator mapping — equality must not fall through to
+    string comparison."""
+    q = f'SELECT ?s WHERE {{ ?s x:f ?b . FILTER(?b = "true"^^<{XSD}boolean>) }} ORDER BY ?s'
+    got = sorted(r["s"].rsplit("/", 1)[1] for r in sparql_select(kg, PX + q).collect())
+    assert got == ["s1", "s2"]
+    # var-var: (s1,s2) both true, (s3,s4) both false
+    q2 = "SELECT ?a ?b WHERE { ?a x:f ?fa . ?b x:f ?fb . FILTER(?fa = ?fb && ?a < ?b) }"
+    pairs = sorted(
+        (r["a"].rsplit("/", 1)[1], r["b"].rsplit("/", 1)[1])
+        for r in sparql_select(kg, PX + q2).collect()
+    )
+    assert pairs == [("s1", "s2"), ("s3", "s4")]
+
+
+def test_datetime_timezone_edge_ordering(kg):
+    """xsd:dateTime with offsets orders by INSTANT ("13:00+02:00" is
+    11:00Z, before "12:00Z"); a timezone-less lexical resolves in the
+    pinned UTC session timezone (the engine's documented choice for
+    XSD's implementation-defined zoneless comparison)."""
+    q = "SELECT ?s WHERE { ?s x:w ?v } ORDER BY ?v"
+    got = [r["s"].rsplit("/", 1)[1] for r in sparql_select(kg, PX + q).collect()]
+    assert got == ["t2", "t3", "t1"]  # 11:00Z < 11:30(UTC) < 12:00Z
+    # equality across lexical forms of the same instant
+    q2 = (
+        f'SELECT ?s WHERE {{ ?s x:w ?v . '
+        f'FILTER(?v = "2024-01-01T14:00:00+02:00"^^<{XSD}dateTime>) }}'
+    )
+    got2 = [r["s"].rsplit("/", 1)[1] for r in sparql_select(kg, PX + q2).collect()]
+    assert got2 == ["t1"]
+
+
+def test_boolean_value_ordering(kg):
+    # false ("false", "0") sorts before true ("true", "1") by VALUE;
+    # value ties break on the raw term string ("0..." < "false...")
+    q = "SELECT ?s WHERE { ?s x:f ?b } ORDER BY ?b ?s"
+    got = [r["s"].rsplit("/", 1)[1] for r in sparql_select(kg, PX + q).collect()]
+    assert got == ["s4", "s3", "s2", "s1"]
