@@ -337,9 +337,9 @@ _BUILTINS = {
     "STRLEN", "SUBSTR", "UCASE", "LCASE", "STRBEFORE", "STRAFTER",
     "CONCAT", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND", "IF",
     "COALESCE", "LANGMATCHES", "IRI", "URI", "STRDT", "STRLANG",
-    "SAMETERM", "MD5", "SHA1", "SHA256", "ISNUMERIC",
-    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
-    "NOW", "ENCODE_FOR_URI", "UUID", "STRUUID", "RAND",
+    "SAMETERM", "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ISNUMERIC",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE",
+    "NOW", "ENCODE_FOR_URI", "UUID", "STRUUID", "RAND", "BNODE",
 }
 
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}

@@ -492,10 +492,16 @@ def _call(e: Call, env: dict) -> tuple[Column, str]:
         if lt != "term" or rt != "term":
             raise ValueError("sameTerm requires RDF term arguments")
         return lc == rc, "bool"  # raw HDT-string identity
-    if name in ("MD5", "SHA1", "SHA256"):
+    if name in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
         c, t = arg(0)
         s = _as_str(c, t)
-        col = {"MD5": F.md5(s), "SHA1": F.sha1(s), "SHA256": F.sha2(s, 256)}[name]
+        col = {
+            "MD5": F.md5(s),
+            "SHA1": F.sha1(s),
+            "SHA256": F.sha2(s, 256),
+            "SHA384": F.sha2(s, 384),
+            "SHA512": F.sha2(s, 512),
+        }[name]
         return col, "str"
     if name in ("IRI", "URI"):
         c, t = arg(0)
@@ -554,6 +560,44 @@ def _call(e: Call, env: dict) -> tuple[Column, str]:
         return F.regexp_extract(
             terms.literal_value(c), r"(Z|[+-]\d{2}:\d{2})$", 1
         ), "str"
+    if name == "TIMEZONE":
+        # fn:timezone-from-dateTime → xsd:dayTimeDuration in canonical
+        # form ("PT0S" for Z/+00:00, "-PT5H30M", "PT2H"); a literal
+        # WITHOUT a timezone is an error → unbound (§17.4.5.8)
+        c, t = arg(0)
+        lex = terms.literal_value(c)
+        tz = F.regexp_extract(lex, r"(Z|([+-])(\d{2}):(\d{2}))$", 1)
+        sign = F.when(tz.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+        hh = F.regexp_extract(lex, r"([+-])(\d{2}):(\d{2})$", 2).try_cast("int")
+        mm = F.regexp_extract(lex, r"([+-])(\d{2}):(\d{2})$", 3).try_cast("int")
+        hpart = F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H"))).otherwise(
+            F.lit("")
+        )
+        mpart = F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M"))).otherwise(
+            F.lit("")
+        )
+        dur = (
+            F.when(tz == "Z", F.lit("PT0S"))
+            .when((hh == 0) & (mm == 0), F.lit("PT0S"))
+            .when(tz != "", F.concat(sign, F.lit("PT"), hpart, mpart))
+        )
+        return (
+            F.concat(F.lit('"'), dur, F.lit(f'"^^<{XSD}dayTimeDuration>')),
+            "term",
+        )
+    if name == "BNODE":
+        # BNODE() → a FRESH blank node per solution (never pushed to
+        # the vocabulary — see the non-deterministic blocklist).  The
+        # one-argument form needs a per-solution argument→bnode map
+        # (two BNODE("x") calls in ONE solution must coincide while
+        # differing across solutions) that a column expression cannot
+        # carry — rejected loudly, like the reference surface we
+        # don't silently mis-answer.
+        if e.args:
+            raise ValueError(
+                "BNODE(expr) requires per-solution bnode scoping; only BNODE() is supported"
+            )
+        return F.concat(F.lit("_:gen"), F.expr("replace(uuid(), '-', '')")), "term"
     if name == "NOW":
         # one timestamp per query evaluation (Catalyst folds
         # current_timestamp to a constant at plan time)
@@ -712,7 +756,7 @@ def _push_filter_uid(kg: KnowledgeGraph, sols: DataFrame, e) -> DataFrame | None
     if expr_has(
         e,
         lambda x: isinstance(x, Call)
-        and x.name in ("BOUND", "COALESCE", "IF", "STRUUID", "UUID", "RAND"),
+        and x.name in ("BOUND", "COALESCE", "IF", "STRUUID", "UUID", "RAND", "BNODE"),
     ):
         return None
     if expr_has(e, lambda x: isinstance(x, ExistsE)):
@@ -793,7 +837,7 @@ def _push_bind_uid(kg: KnowledgeGraph, df: DataFrame, node) -> DataFrame | None:
         node.expr,
         lambda x: (
             isinstance(x, Call)
-            and x.name in ("BOUND", "COALESCE", "IF", "STRUUID", "UUID", "RAND")
+            and x.name in ("BOUND", "COALESCE", "IF", "STRUUID", "UUID", "RAND", "BNODE")
         )
         or isinstance(x, ExistsE),
     ):

@@ -48,11 +48,11 @@ _TOKEN = re.compile(
     + r""")
     | (?P<iri><[^>]*>)
     | (?P<anon>\[\s*\])
+    | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+|[+-]?\d*\.\d+|[+-]?\d+)
     | (?P<punct>[;,.\[\]{}()])
     | (?P<kw>@prefix|@base)
     | (?P<bnode>_:[\w-]+)
     | (?P<pname>[A-Za-z_][\w-]*(?:\.[\w-]+)*:[\w-]*(?:\.[\w-]+)*|:[\w-]*(?:\.[\w-]+)*|[A-Za-z_][\w-]*(?:\.[\w-]+)*)
-    | (?P<num>[+-]?\d+\.\d+|[+-]?\d+)
     """,
     re.VERBOSE,
 )
@@ -149,7 +149,15 @@ class _TurtleParser:
         if kind == "bnode":
             return tok
         if kind == "num":
-            dt = "decimal" if "." in tok else "integer"
+            # Turtle abbreviated numeric forms (§2.5.2): INTEGER →
+            # xsd:integer, DECIMAL → xsd:decimal, exponent DOUBLE →
+            # xsd:double — lexical form preserved as written
+            if "e" in tok.lower():
+                dt = "double"
+            elif "." in tok:
+                dt = "decimal"
+            else:
+                dt = "integer"
             return f'"{tok}"^^<{XSD}{dt}>'
         if kind == "pname":
             if tok == "a":

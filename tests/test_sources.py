@@ -260,3 +260,23 @@ def test_turtle_base_and_relative_iris():
         ("http://base.org/dir/apple", "http://p.org/rel", "http://base.org/dir/#frag"),
         ("http://base.org/dir/apple", "http://p.org/kind", "http://base.org/dir/sub/thing"),
     ]
+
+
+def test_turtle_numeric_literal_grammar():
+    """Turtle §2.5.2 abbreviated numerics: INTEGER → xsd:integer,
+    DECIMAL (incl. leading-dot) → xsd:decimal, exponent DOUBLE →
+    xsd:double; lexical forms preserved as written."""
+    from de_spark.sources.turtle import parse_turtle
+
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    doc = (
+        "@prefix ex: <http://x/> .\n"
+        "ex:a ex:i 123 ; ex:d 1.5 ; ex:e 2.5e0 ; ex:g -4.0E-2 ; ex:h .5 ; ex:j -7 ."
+    )
+    objs = {p.rsplit("/", 1)[1]: o for _, p, o in parse_turtle(doc)}
+    assert objs["i"] == f'"123"^^<{xsd}integer>'
+    assert objs["d"] == f'"1.5"^^<{xsd}decimal>'
+    assert objs["e"] == f'"2.5e0"^^<{xsd}double>'
+    assert objs["g"] == f'"-4.0E-2"^^<{xsd}double>'
+    assert objs["h"] == f'".5"^^<{xsd}decimal>'
+    assert objs["j"] == f'"-7"^^<{xsd}integer>'

@@ -186,6 +186,92 @@ def test_sum_of_decimals_is_decimal(kg):
     )
 
 
+def test_promotion_model_property(spark):
+    """Seeded randomized check: the runtime-kinded arithmetic
+    ('numk') promotes and renders exactly like the XPath model —
+    result datatype = max operand rank (÷ lifts integers to decimal),
+    value = float arithmetic."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from de_spark.query.parser import Bin, VarE
+    from de_spark.query.sparql import _ex, _render_term
+
+    rng = random.Random(7)
+    kinds = [("integer", 0), ("decimal", 1), ("float", 2), ("double", 3)]
+    cases = []
+    for _ in range(60):
+        dta, ka = rng.choice(kinds)
+        dtb, kb = rng.choice(kinds)
+        va = rng.randrange(-9, 10)
+        vb = rng.randrange(1, 9) * rng.choice([1, -1])
+        op = rng.choice("+-*/")
+        cases.append((dta, va, op, dtb, vb, ka, kb))
+
+    exprs = []
+    for i, (dta, va, op, dtb, vb, _, _) in enumerate(cases):
+        env = {
+            "a": (F.lit(f'"{va}"^^<{XSD}{dta}>'), "term"),
+            "b": (F.lit(f'"{vb}"^^<{XSD}{dtb}>'), "term"),
+        }
+        col, tag = _ex(Bin(op, VarE("a"), VarE("b")), env)
+        exprs.append(_render_term(col, tag).alias(f"c{i}"))
+    row = spark.range(1).select(*exprs).collect()[0]
+
+    for i, (dta, va, op, dtb, vb, ka, kb) in enumerate(cases):
+        rank = max(ka, kb)
+        if op == "/":
+            rank = max(rank, 1)
+        want_dt = {0: "integer", 1: "decimal", 2: "float", 3: "double"}[rank]
+        want_val = {
+            "+": va + vb, "-": va - vb, "*": va * vb, "/": va / vb
+        }[op]
+        got = row[f"c{i}"]
+        assert got.endswith(f'^^<{XSD}{want_dt}>'), (i, cases[i], got)
+        lex = got[1 : got.index('"', 1)]
+        assert abs(float(lex) - want_val) < 1e-9, (i, cases[i], got)
+
+
+# ---------------------------------------------------------------------------
+# builtin long tail: SHA384/SHA512, TIMEZONE, BNODE()
+# ---------------------------------------------------------------------------
+
+
+def test_sha384_sha512(kg):
+    import hashlib
+
+    assert one(kg, 'SELECT ?h WHERE { BIND(SHA384("abc") AS ?h) }', "h") == (
+        '"' + hashlib.sha384(b"abc").hexdigest() + '"'
+    )
+    assert one(kg, 'SELECT ?h WHERE { BIND(SHA512("abc") AS ?h) }', "h") == (
+        '"' + hashlib.sha512(b"abc").hexdigest() + '"'
+    )
+
+
+def test_timezone_builtin(kg):
+    """TIMEZONE → canonical xsd:dayTimeDuration; a timezone-less
+    dateTime is an error → unbound (TZ, by contrast, returns '')."""
+    q = "SELECT ?s ?z WHERE { ?s x:w ?v . BIND(TIMEZONE(?v) AS ?z) }"
+    z = {
+        r["s"].rsplit("/", 1)[1]: r["z"]
+        for r in sparql_select(kg, PX + q).collect()
+    }
+    assert z["t1"] == f'"PT0S"^^<{XSD}dayTimeDuration>'
+    assert z["t2"] == f'"PT2H"^^<{XSD}dayTimeDuration>'
+    assert z["t3"] is None
+
+
+def test_bnode_builtin(kg):
+    q = "SELECT ?s ?b WHERE { ?s x:f ?v . BIND(BNODE() AS ?b) }"
+    rows = sparql_select(kg, PX + q).collect()
+    assert len(rows) == 4
+    assert all(r["b"].startswith("_:gen") for r in rows)
+    assert len({r["b"] for r in rows}) == 4  # fresh per solution
+    with pytest.raises(ValueError, match="BNODE"):
+        sparql_select(kg, PX + 'SELECT ?b WHERE { BIND(BNODE("x") AS ?b) }').collect()
+
+
 # ---------------------------------------------------------------------------
 # boolean value semantics (VERDICT r4 item 4)
 # ---------------------------------------------------------------------------
