@@ -34,6 +34,13 @@ SHOW = [
         "top-k + merge, no global sort shuffle); BIND pushed to the vocabulary",
     ),
     (
+        "kg_sparql_arith_types",
+        "numeric type promotion: the runtime (value, kind) pair compiles to a "
+        "single projection over the vocabulary map join — the when-chains fold "
+        "into one whole-stage-codegen span, no extra shuffle or UDF for the "
+        "promoted rendering",
+    ),
+    (
         "ann_ivf_topk",
         "IVF probe: the BroadcastNestedLoopJoin here is the INTENDED n-rows x "
         "k-broadcast-centroids expansion (centroid table is a few MB even at 4k "
