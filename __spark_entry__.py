@@ -314,6 +314,45 @@ def _kg_sparql_arith_types(spark, sf_dir):
     )
 
 
+def _kg_sparql_datetime_order(spark, sf_dir):
+    """xsd:dateTime VALUE semantics through the text surface: the
+    FILTER constant carries a +02:00 offset (normalizes to the same
+    instant scale as the data's Z lexicals), ORDER BY sorts by
+    instant, LIMIT makes the ordering observable.  Reference:
+    spareval op:dateTime ordering (src/sparql.rs:520)."""
+    from de_spark.query import sparql_select
+
+    kg = documents_kg(spark, sf_dir)
+    return sparql_select(
+        kg,
+        f"""
+        SELECT ?doc ?m WHERE {{
+          ?doc <{CODE}modified> ?m .
+          FILTER(?m > "2024-01-20T00:00:00+02:00"^^<{_XSD}dateTime>)
+        }} ORDER BY DESC(?m) ?doc LIMIT 40
+        """,
+    )
+
+
+def _kg_sparql_boolean_value(spark, sf_dir):
+    """xsd:boolean VALUE equality (VERDICT r4 item 4): the data mixes
+    the canonical and numeral lexical forms ("true"/"1"), so
+    FILTER(?b = "true"^^xsd:boolean) only matches the long docs if
+    comparison is by VALUE, not by string."""
+    from de_spark.query import sparql_select
+
+    kg = documents_kg(spark, sf_dir)
+    return sparql_select(
+        kg,
+        f"""
+        SELECT ?doc WHERE {{
+          ?doc <{CODE}isLong> ?b .
+          FILTER(?b = "true"^^<{_XSD}boolean>)
+        }}
+        """,
+    )
+
+
 def _kg_sparql_agg_distinct(spark, sf_dir):
     """SUM(DISTINCT expr) (ADVICE r3: the DISTINCT modifier must reach
     the executor, not parse-and-drop): per-doc sum of DISTINCT mention
@@ -599,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional_filter": _kg_sparql_optional_filter,
         "kg_sparql_agg_distinct": _kg_sparql_agg_distinct,
         "kg_sparql_arith_types": _kg_sparql_arith_types,
+        "kg_sparql_datetime_order": _kg_sparql_datetime_order,
+        "kg_sparql_boolean_value": _kg_sparql_boolean_value,
         "kg_mentions_degree": _kg_mentions_degree,
         # relational operators
         "q1_pricing_summary": _q1_pricing_summary,
@@ -950,6 +991,26 @@ def oracle_sql() -> dict[str, str]:
                '"' || sum(DISTINCT (length(o) - {_WORD_PREFIX_LEN}))::BIGINT::VARCHAR
                    || '"^^<{_XSD}integer>' AS suml
         FROM triples WHERE p = '{CODE}mentions' GROUP BY s
+        """,
+        # instant semantics: the +02:00 filter constant is restated as
+        # its UTC instant (2024-01-19 22:00) over the same f(doc_id)
+        # timestamp derivation; LIMIT boundary deterministic via the
+        # ?doc secondary key
+        "kg_sparql_datetime_order": f"""
+        SELECT '{ENT}doc/' || doc_id AS doc,
+               '"' || printf('2024-01-%02dT%02d:00:00Z',
+                             (doc_id % 28 + 1)::INT, (doc_id % 24)::INT)
+                   || '"^^<{_XSD}dateTime>' AS m
+        FROM documents
+        WHERE make_timestamp(2024, 1, (doc_id % 28 + 1)::BIGINT,
+                             (doc_id % 24)::BIGINT, 0, 0)
+              > TIMESTAMP '2024-01-19 22:00:00'
+        ORDER BY 2 DESC, 1 ASC LIMIT 40
+        """,
+        # boolean VALUE equality: 'true' and '1' are the same value
+        "kg_sparql_boolean_value": f"""
+        SELECT '{ENT}doc/' || doc_id AS doc
+        FROM documents WHERE n_chars >= 250
         """,
         # lexical forms pinned per XPath promotion: integer stays
         # integer, int÷int is decimal (trailing .0 trimmed), ×double

@@ -58,6 +58,38 @@ def documents_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "literal",
     )
+    # deterministic xsd:dateTime per doc (value = f(doc_id)) —
+    # exercises instant comparison/ordering through exact oracles
+    doc_modified = tp(
+        doc_iri,
+        CODE + "modified",
+        F.concat(
+            F.lit('"'),
+            F.format_string(
+                "2024-01-%02dT%02d:00:00Z",
+                (F.col("doc_id") % 28 + 1).cast("int"),
+                (F.col("doc_id") % 24).cast("int"),
+            ),
+            F.lit(f'"^^<{XSD}dateTime>'),
+        ),
+        "literal",
+    )
+    # xsd:boolean with MIXED lexical forms ("true"/"1", "false"/"0")
+    # so value-equality semantics are observable in the oracles
+    long_flag = F.col("n_chars") >= 250
+    alt = F.col("doc_id") % 2 == 0
+    bool_lex = (
+        F.when(long_flag & alt, F.lit("true"))
+        .when(long_flag, F.lit("1"))
+        .when(alt, F.lit("false"))
+        .otherwise(F.lit("0"))
+    )
+    doc_islong = tp(
+        doc_iri,
+        CODE + "isLong",
+        F.concat(F.lit('"'), bool_lex, F.lit(f'"^^<{XSD}boolean>')),
+        "literal",
+    )
 
     words = docs.select(
         doc_iri.alias("s"),
@@ -76,6 +108,8 @@ def documents_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(src_type)
         .unionByName(doc_lang)
         .unionByName(doc_nchars)
+        .unionByName(doc_modified)
+        .unionByName(doc_islong)
         .unionByName(mentions)
     )
 
@@ -130,6 +164,20 @@ triples AS (
   UNION ALL
   SELECT '{ENT}doc/' || doc_id, '{CODE}nChars',
          '"' || n_chars::VARCHAR || '"^^<{XSD}integer>', 'doc:///' || source
+  FROM documents
+  UNION ALL
+  SELECT '{ENT}doc/' || doc_id, '{CODE}modified',
+         '"' || printf('2024-01-%02dT%02d:00:00Z',
+                       (doc_id % 28 + 1)::INT, (doc_id % 24)::INT)
+             || '"^^<{XSD}dateTime>', 'doc:///' || source
+  FROM documents
+  UNION ALL
+  SELECT '{ENT}doc/' || doc_id, '{CODE}isLong',
+         '"' || CASE WHEN n_chars >= 250 AND doc_id % 2 = 0 THEN 'true'
+                     WHEN n_chars >= 250 THEN '1'
+                     WHEN doc_id % 2 = 0 THEN 'false'
+                     ELSE '0' END
+             || '"^^<{XSD}boolean>', 'doc:///' || source
   FROM documents
   UNION ALL
   SELECT '{ENT}doc/' || doc_id, '{CODE}mentions',
