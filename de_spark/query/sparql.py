@@ -813,6 +813,43 @@ def _attach_exists_marker(
     return out.withColumn(name, flag)
 
 
+def _extend_one(kg: KnowledgeGraph, df: DataFrame | None, node) -> DataFrame:
+    """Compile a single BIND over an already-compiled child frame
+    (None = the empty/unit group)."""
+    vs = sorted(expr_vars(node.expr))
+    if df is None:
+        if vs:
+            raise ValueError("BIND over an empty group cannot reference variables")
+        spark = kg.triples.sparkSession
+        df = spark.range(1).drop("id")
+        env: dict = {}
+        temp: list[str] = []
+    else:
+        pushed = _push_bind_uid(kg, df, node)
+        if pushed is not None:
+            return pushed
+        df, env, temp = _with_term_strs(kg, df, vs)
+    col, tag = _ex(node.expr, env)
+    return df.withColumn(node.var, _render_term(col, tag)).drop(*temp)
+
+
+_NONPUSH_CALLS = ("BOUND", "COALESCE", "IF", "STRUUID", "UUID", "RAND", "BNODE")
+
+
+def _bind_push_ok(df: DataFrame, v: str, expr) -> bool:
+    """Whether a single-variable BIND over ``v`` may evaluate in uid
+    space (shared gate of _push_bind_uid and the fused-run batcher)."""
+    if v not in df.columns or dict(df.dtypes).get(v) != "bigint":
+        return False
+    if _is_value_col(df, v):
+        return False
+    return not expr_has(
+        expr,
+        lambda x: (isinstance(x, Call) and x.name in _NONPUSH_CALLS)
+        or isinstance(x, ExistsE),
+    )
+
+
 def _push_bind_uid(kg: KnowledgeGraph, df: DataFrame, node) -> DataFrame | None:
     """Single-variable BIND evaluated in uid space: the expression runs
     once over the vocabulary-sized term_uids table and the rendered
@@ -829,18 +866,7 @@ def _push_bind_uid(kg: KnowledgeGraph, df: DataFrame, node) -> DataFrame | None:
     if len(vs) != 1:
         return None
     v = vs.pop()
-    if v not in df.columns or dict(df.dtypes).get(v) != "bigint":
-        return None
-    if _is_value_col(df, v):
-        return None
-    if expr_has(
-        node.expr,
-        lambda x: (
-            isinstance(x, Call)
-            and x.name in ("BOUND", "COALESCE", "IF", "STRUUID", "UUID", "RAND", "BNODE")
-        )
-        or isinstance(x, ExistsE),
-    ):
+    if not _bind_push_ok(df, v, node.expr):
         return None
     try:
         col, tag = _ex(node.expr, {v: (F.col("term"), "term")})
@@ -1111,24 +1137,62 @@ def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
         return df
 
     if isinstance(node, ExtendNode):
-        df = _compile(kg, node.child, graph)
-        vs = sorted(expr_vars(node.expr))
-        if df is None:
-            if vs:
-                raise ValueError("BIND over an empty group cannot reference variables")
-            spark = kg.triples.sparkSession
-            df = spark.range(1).drop("id")
-            env: dict = {}
-            temp: list[str] = []
-        else:
-            if node.var in df.columns:
-                raise ValueError(f"BIND reuses an in-scope variable: ?{node.var}")
-            pushed = _push_bind_uid(kg, df, node)
-            if pushed is not None:
-                return pushed
-            df, env, temp = _with_term_strs(kg, df, vs)
-        col, tag = _ex(node.expr, env)
-        return df.withColumn(node.var, _render_term(col, tag)).drop(*temp)
+        # flatten the Extend chain (BIND . BIND . BIND parses as nested
+        # ExtendNodes) so a RUN of consecutive single-variable binds
+        # over the SAME uid source var fuses into ONE vocabulary map
+        # join carrying all the rendered columns — three BINDs over ?n
+        # must not pay three term_uids joins
+        chain: list = []
+        cur = node
+        while isinstance(cur, ExtendNode):
+            chain.append(cur)
+            cur = cur.child
+        chain.reverse()  # innermost first = textual order
+        df = _compile(kg, cur, graph)
+        i = 0
+        while i < len(chain):
+            nd = chain[i]
+            if df is not None and nd.var in df.columns:
+                raise ValueError(f"BIND reuses an in-scope variable: ?{nd.var}")
+            run: list = []
+            if df is not None:
+                v0: str | None = None
+                j = i
+                while j < len(chain):
+                    ndj = chain[j]
+                    vs_j = expr_vars(ndj.expr)
+                    if len(vs_j) != 1:
+                        break
+                    v = next(iter(vs_j))
+                    if v0 is None:
+                        v0 = v
+                    if (
+                        v != v0
+                        or ndj.var in df.columns
+                        or any(ndj.var == r.var for r in run)
+                        or not _bind_push_ok(df, v, ndj.expr)
+                    ):
+                        break
+                    run.append(ndj)
+                    j += 1
+            if len(run) >= 2:
+                try:
+                    cols = [
+                        _render_term(
+                            *_ex(r.expr, {v0: (F.col("term"), "term")})
+                        ).alias(r.var)
+                        for r in run
+                    ]
+                except ValueError:
+                    run = []
+                if run:
+                    mapdf = kg.term_uids.select(F.col("uid").alias(v0), *cols)
+                    df = df.join(mapdf, v0, "left")
+                    i = j
+                    continue
+            df = _extend_one(kg, df, nd)
+            i += 1
+        return df
 
     if isinstance(node, GraphScopeNode):
         return _compile(kg, node.child, node.term)
