@@ -744,22 +744,14 @@ def _push_filter_uid(kg: KnowledgeGraph, sols: DataFrame, e) -> DataFrame | None
     if len(vs) != 1:
         return None
     v = vs.pop()
-    if v not in sols.columns or dict(sols.dtypes).get(v) != "bigint":
-        return None
-    if _is_value_col(sols, v):
-        return None  # plain numeric column, not a uid — filter in place
     # BOUND is a null test on the binding itself — term_uids rows are
     # never null, so it must not be pushed to the vocabulary; COALESCE
     # and IF can map an UNBOUND argument to a non-error value, so a
     # semi join (which drops null-binding rows) would silently discard
-    # rows SPARQL keeps (ADVICE r3)
-    if expr_has(
-        e,
-        lambda x: isinstance(x, Call)
-        and x.name in ("BOUND", "COALESCE", "IF", "STRUUID", "UUID", "RAND", "BNODE"),
-    ):
-        return None
-    if expr_has(e, lambda x: isinstance(x, ExistsE)):
+    # rows SPARQL keeps (ADVICE r3); non-deterministic builtins need a
+    # fresh value per solution (ADVICE r4); value columns aren't uids
+    # — all gated by the shared _bind_push_ok
+    if not _bind_push_ok(sols, v, e):
         return None
     try:
         cond, tag = _ex(e, {v: (F.col("term"), "term")})
@@ -1132,7 +1124,29 @@ def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
         df = _compile(kg, node.child, graph)
         if df is None:
             raise ValueError("FILTER over an empty group")
+        # single-variable uid-pushable filters sharing a variable fuse
+        # with && and push as ONE vocabulary evaluation + semi join
+        # (filters in a group are conjunctive, so order is free);
+        # everything else keeps the per-expression strategies
+        groups: dict[str, list] = {}
+        rest: list = []
         for e in node.exprs:
+            vs = expr_vars(e)
+            v = next(iter(vs)) if len(vs) == 1 else None
+            if v is not None and _bind_push_ok(df, v, e):
+                groups.setdefault(v, []).append(e)
+            else:
+                rest.append(e)
+        for v, es in groups.items():
+            combined = es[0]
+            for e2 in es[1:]:
+                combined = Bin("&&", combined, e2)
+            pushed = _push_filter_uid(kg, df, combined)
+            if pushed is not None:
+                df = pushed
+            else:
+                rest.extend(es)  # uncompilable in uid space → generic path
+        for e in rest:
             df = _apply_filter(kg, df, e, graph)
         return df
 

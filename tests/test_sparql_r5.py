@@ -186,6 +186,43 @@ def test_sum_of_decimals_is_decimal(kg):
     )
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_same_var_filters_fuse_one_semi_join(kg):
+    """Two FILTER clauses over the same uid variable must compile to
+    ONE vocabulary semi join (fused with &&), not one per clause —
+    the plan matches the single-FILTER formulation exactly."""
+    q2 = PX + f"""
+    SELECT ?s WHERE {{
+      ?s x:n ?v .
+      FILTER(?v > "1"^^<{XSD}integer>)
+      FILTER(?v < "7"^^<{XSD}integer>)
+    }} ORDER BY ?s
+    """
+    q1 = PX + f"""
+    SELECT ?s WHERE {{
+      ?s x:n ?v .
+      FILTER(?v > "1"^^<{XSD}integer> && ?v < "7"^^<{XSD}integer>)
+    }} ORDER BY ?s
+    """
+    df2, df1 = sparql_select(kg, q2), sparql_select(kg, q1)
+    got = [r["s"].rsplit("/", 1)[1] for r in df2.collect()]
+    assert got == ["s1", "s2"]  # n = 2, 5 pass; 7 fails the upper bound
+    assert _plan(df2).count("Join LeftSemi") == _plan(df1).count("Join LeftSemi")
+
+
+def test_same_source_binds_fuse_one_map_join(kg):
+    """A run of BINDs over the same source variable joins the
+    vocabulary ONCE (all rendered columns on one map join)."""
+    q2 = PX + "SELECT ?a ?b WHERE { ?s x:n ?v . BIND(?v+1 AS ?a) BIND(?v*2 AS ?b) }"
+    q1 = PX + "SELECT ?a WHERE { ?s x:n ?v . BIND(?v+1 AS ?a) }"
+    df2, df1 = sparql_select(kg, q2), sparql_select(kg, q1)
+    assert df2.count() == 3
+    assert _plan(df2).count("Join LeftOuter") == _plan(df1).count("Join LeftOuter")
+
+
 def test_promotion_model_property(spark):
     """Seeded randomized check: the runtime-kinded arithmetic
     ('numk') promotes and renders exactly like the XPath model —
