@@ -35,10 +35,10 @@ SHOW = [
     ),
     (
         "kg_sparql_arith_types",
-        "numeric type promotion: the runtime (value, kind) pair compiles to a "
-        "single projection over the vocabulary map join — the when-chains fold "
-        "into one whole-stage-codegen span, no extra shuffle or UDF for the "
-        "promoted rendering",
+        "numeric type promotion: the three BINDs over ?n FUSE into ONE "
+        "vocabulary map join (BroadcastHashJoin LeftOuter) carrying all three "
+        "rendered columns; the runtime (value, kind) when-chains fold into the "
+        "projection — no extra shuffle or UDF for the promoted rendering",
     ),
     (
         "ann_ivf_topk",
