@@ -129,13 +129,21 @@ def cmd_query(args) -> int:
             print(emit_ask(value))
             continue
         sols = sparql_select(kg, q)
-        emit = {
-            "csv": res.to_csv,
-            "tsv": res.to_tsv,
-            "json": res.to_json,
-            "xml": res.to_xml,
+        # streamed chunk-by-chunk to stdout (constant driver memory;
+        # CSV joins with \r\n, the others are pre-chunked documents)
+        emit_iter, sep = {
+            "csv": (res.iter_csv, "\r\n"),
+            "tsv": (res.iter_tsv, "\n"),
+            "json": (res.iter_json, ""),
+            "xml": (res.iter_xml, ""),
         }[args.output]
-        print(emit(sols))
+        first = True
+        for chunk in emit_iter(sols):
+            if not first and sep:
+                sys.stdout.write(sep)
+            first = False
+            sys.stdout.write(chunk)
+        sys.stdout.write("\n")
     return 0
 
 

@@ -30,9 +30,13 @@ def _rows(solutions: DataFrame) -> Iterator:
     return solutions.toLocalIterator()
 
 
-def to_csv(solutions: DataFrame) -> str:
+def iter_csv(solutions: DataFrame) -> Iterator[str]:
+    """Stream sparesults-CSV lines (header first) — one row in driver
+    memory at a time via ``toLocalIterator`` (the reference streams
+    serialization as it reads, src/serve.rs:1427-1502).  ``to_csv``
+    is the joined-string twin; byte shapes are identical."""
     cols = solutions.columns
-    lines = [",".join(cols)]
+    yield ",".join(cols)
     for row in _rows(solutions):
         vals = []
         for c in cols:
@@ -49,13 +53,17 @@ def to_csv(solutions: DataFrame) -> str:
                 vals.append(v)
             else:
                 vals.append(t)
-        lines.append(",".join(vals))
-    return "\r\n".join(lines)
+        yield ",".join(vals)
 
 
-def to_tsv(solutions: DataFrame) -> str:
+def to_csv(solutions: DataFrame) -> str:
+    return "\r\n".join(iter_csv(solutions))
+
+
+def iter_tsv(solutions: DataFrame) -> Iterator[str]:
+    """Stream sparesults-TSV lines (see :func:`iter_csv`)."""
     cols = solutions.columns
-    lines = ["\t".join("?" + c for c in cols)]
+    yield "\t".join("?" + c for c in cols)
     for row in _rows(solutions):
         vals = []
         for c in cols:
@@ -68,8 +76,11 @@ def to_tsv(solutions: DataFrame) -> str:
                 vals.append(t)
             else:
                 vals.append(f"<{t}>")
-        lines.append("\t".join(vals))
-    return "\n".join(lines)
+        yield "\t".join(vals)
+
+
+def to_tsv(solutions: DataFrame) -> str:
+    return "\n".join(iter_tsv(solutions))
 
 
 def _json_term(t) -> dict:
@@ -90,33 +101,47 @@ def _json_term(t) -> dict:
     return d
 
 
-def to_json(solutions: DataFrame) -> str:
+def iter_json(solutions: DataFrame) -> Iterator[str]:
+    """Stream the sparesults-JSON document in chunks: envelope, then
+    one binding object per row — never the whole bindings list in
+    driver memory.  Byte-identical to ``to_json``."""
     cols = solutions.columns
-    bindings = []
+    yield (
+        '{"head":{"vars":'
+        + json.dumps(cols, separators=(",", ":"))
+        + '},"results":{"bindings":['
+    )
+    first = True
     for row in _rows(solutions):
         b = {}
         for c in cols:
             if row[c] is not None:
                 b[c] = _json_term(row[c])
-        bindings.append(b)
-    return json.dumps(
-        {"head": {"vars": cols}, "results": {"bindings": bindings}},
-        separators=(",", ":"),
-    )
+        chunk = json.dumps(b, separators=(",", ":"))
+        yield chunk if first else "," + chunk
+        first = False
+    yield "]}}"
+
+
+def to_json(solutions: DataFrame) -> str:
+    return "".join(iter_json(solutions))
 
 
 def _xml_escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def to_xml(solutions: DataFrame) -> str:
+def iter_xml(solutions: DataFrame) -> Iterator[str]:
+    """Stream the sparesults-XML document: envelope chunks, then one
+    ``<result>…</result>`` chunk per row.  Byte-identical to
+    ``to_xml``."""
     cols = solutions.columns
-    parts = ['<?xml version="1.0"?>']
-    parts.append('<sparql xmlns="http://www.w3.org/2005/sparql-results#">')
-    parts.append("<head>" + "".join(f'<variable name="{c}"/>' for c in cols) + "</head>")
-    parts.append("<results>")
+    yield '<?xml version="1.0"?>'
+    yield '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+    yield "<head>" + "".join(f'<variable name="{c}"/>' for c in cols) + "</head>"
+    yield "<results>"
     for row in _rows(solutions):
-        parts.append("<result>")
+        parts = ["<result>"]
         for c in cols:
             t = row[c]
             if t is None:
@@ -139,8 +164,12 @@ def to_xml(solutions: DataFrame) -> str:
                 inner = f"<literal{attrs}>{_xml_escape(value)}</literal>"
             parts.append(f'<binding name="{c}">{inner}</binding>')
         parts.append("</result>")
-    parts.append("</results></sparql>")
-    return "".join(parts)
+        yield "".join(parts)
+    yield "</results></sparql>"
+
+
+def to_xml(solutions: DataFrame) -> str:
+    return "".join(iter_xml(solutions))
 
 
 def ask_to_json(value: bool) -> str:

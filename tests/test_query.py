@@ -380,3 +380,27 @@ def test_optional(fruit_kg):
     rows = sparql_select(fruit_kg, q).collect()
     assert [r["fruit"].rsplit("/", 1)[1] for r in rows] == ["Banana", "Pineapple"]
     assert all(r["label"] is None for r in rows)
+
+
+def test_result_emitters_stream_per_row(spark):
+    """The CSV/TSV/JSON/XML emitters yield one chunk per row (plus
+    envelope) through toLocalIterator — the driver never holds the
+    whole document (VERDICT r4 item 5 applied to SELECT results)."""
+    from pyspark.sql import functions as F
+
+    from de_spark.query import results as res
+
+    n = 5_000
+    df = spark.range(n).select(
+        F.concat(F.lit("http://x/s"), F.col("id")).alias("s"),
+        F.concat(F.lit('"v'), F.col("id"), F.lit('"')).alias("o"),
+    )
+    csv_chunks = list(res.iter_csv(df))
+    assert len(csv_chunks) == n + 1 and max(map(len, csv_chunks)) < 120
+    json_chunks = list(res.iter_json(df))
+    assert len(json_chunks) == n + 2  # head envelope + rows + tail
+    xml_chunks = list(res.iter_xml(df))
+    assert len(xml_chunks) == n + 5
+    # joined-string twins stay byte-identical contracts
+    assert "\r\n".join(csv_chunks) == res.to_csv(df)
+    assert "".join(json_chunks) == res.to_json(df)
