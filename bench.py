@@ -163,9 +163,13 @@ def main() -> None:
 
     total0 = time.monotonic()
 
-    # KG construction headline (single run: a 40 s multi-stage job —
-    # steal averages out over the run, unlike sub-second queries)
-    kg_build = bench_kg_build(spark, sf)
+    # KG construction headline, min-of-N like the queries (the host's
+    # steal spikes hit a 40 s build too: same-code builds measured
+    # 34.8 s and 40.6 s within one hour); all walls reported
+    build_reps = int(os.environ.get("SPARK_GRAFT_BENCH_BUILD_REPS", "2"))
+    build_runs = [bench_kg_build(spark, sf) for _ in range(build_reps)]
+    kg_build = min(build_runs, key=lambda b: b["wall_sec"])
+    kg_build["walls"] = [b["wall_sec"] for b in build_runs]
 
     qs = entrymod.queries()
     by_sf: dict[str, dict] = {}
