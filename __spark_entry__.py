@@ -545,6 +545,28 @@ def _sample_mix_by_lang(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _text_scrub_pii(spark, sf_dir):
+    """PII scrubbing (emails / IPv4 / long digit runs → tokens).  The
+    synthetic corpus carries no PII, so deterministic PII-like spans
+    are injected per doc_id first; the oracle restates injection and
+    the same sequential redaction stages, pinning clean_text and the
+    redaction count value-exactly."""
+    from de_spark.ops import text as text_ops
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+            F.lit(" host 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+            F.lit(" acct 12345678"), F.col("doc_id").cast("string"), F.lit(" end"),
+        ).alias("text"),
+    )
+    return text_ops.scrub_pii(aug)
+
+
 def _dedup_exact_docs(spark, sf_dir):
     return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -657,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "text_analyze": _text_analyze,
         "text_chunk_docs": _text_chunk_docs,
+        "text_scrub_pii": _text_scrub_pii,
         "sample_mix_by_lang": _sample_mix_by_lang,
         "dedup_exact_docs": _dedup_exact_docs,
         "dedup_jaccard_pairs": _dedup_jaccard_pairs,
@@ -1125,6 +1148,39 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'fr' END AS lang_pred,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents
+        """,
+        # sequential redaction stages restated 1:1 (replacement tokens
+        # contain no digits/@, so staging order is well-defined); the
+        # regex subset is RE2/Java-compatible (no backrefs/lookaround)
+        "text_scrub_pii": r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' mail user' || doc_id::VARCHAR || '@example.com'
+                      || ' host 10.' || (doc_id % 256)::VARCHAR
+                      || '.0.' || (doc_id % 100)::VARCHAR
+                      || ' acct 12345678' || doc_id::VARCHAR || ' end' AS t
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS c1,
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+          FROM aug
+        ),
+        s2 AS (
+          SELECT doc_id, c1,
+                 len(regexp_split_to_array(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) - 1 AS c2,
+                 regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t
+          FROM s1
+        ),
+        s3 AS (
+          SELECT doc_id, c1, c2,
+                 len(regexp_split_to_array(t, '\d{9,}')) - 1 AS c3,
+                 regexp_replace(t, '\d{9,}', '[NUM]', 'g') AS t
+          FROM s2
+        )
+        SELECT doc_id, t AS clean_text, (c1 + c2 + c3)::BIGINT AS n_redactions
+        FROM s3
         """,
         "text_chunk_docs": r"""
         WITH toks AS (

@@ -186,3 +186,35 @@ def sample_stratified(
         else F.lit(int(default_rate * 1_000_000))
     )
     return documents.where(bucket < rate)
+
+
+# PII-like span patterns (shared, RE2/Java-compatible subset: no
+# backreferences or lookaround, so the Spark and DuckDB twins match)
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\d{9,}", "[NUM]"),
+]
+
+
+def scrub_pii(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact PII-like spans (emails, IPv4 addresses, long digit runs)
+    → (doc_id, clean_text, n_redactions).
+
+    Patterns apply SEQUENTIALLY (each count runs on the previous
+    stage's output; replacement tokens contain no digits/@, so stages
+    never create new matches) — the DuckDB oracle restates the same
+    staging.  Pure Catalyst regexp_replace/split: scan-speed, no UDF,
+    trivially parallel at 100 TB (per-row map, no shuffle)."""
+    t = F.col(text_col)
+    n = F.lit(0)
+    for pat, rep in PII_PATTERNS:
+        n = n + F.size(F.split(t, pat)) - 1
+        t = F.regexp_replace(t, pat, rep)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("clean_text"),
+        n.cast("long").alias("n_redactions"),
+    )

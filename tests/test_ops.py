@@ -457,3 +457,25 @@ def test_gif_roundtrip_and_features(spark):
     # features come from the REAL pixels: mean of channel 0 matches
     exp = float(_gif_palette()[idx.astype(np.int32)][..., 0].mean() / 255.0)
     assert abs(row["feature"][0] - exp) < 1e-5
+
+
+def test_scrub_pii(spark):
+    """PII redaction: emails, IPv4s, long digit runs → tokens, with a
+    per-row redaction count; clean rows pass through untouched."""
+    from de_spark.ops import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (0, "reach me at a.b+x@mail.example.org thanks"),
+            (1, "server 192.168.0.1 and acct 1234567890"),
+            (2, "nothing sensitive here 123"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text_ops.scrub_pii(df).collect()}
+    assert rows[0]["clean_text"] == "reach me at [EMAIL] thanks"
+    assert rows[0]["n_redactions"] == 1
+    assert rows[1]["clean_text"] == "server [IP] and acct [NUM]"
+    assert rows[1]["n_redactions"] == 2
+    assert rows[2]["clean_text"] == "nothing sensitive here 123"
+    assert rows[2]["n_redactions"] == 0
