@@ -103,6 +103,7 @@ QUERY_NAMES = [
     "kg_path_comention",
     "kg_path_reach",
     "kg_sparql_not_exists",
+    "kg_sparql_arith_types",
     "kg_mentions_degree",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -112,6 +113,7 @@ QUERY_NAMES = [
     "events_latest_per_user",
     "text_analyze",
     "text_chunk_docs",
+    "text_scrub_pii",
     "sample_mix_by_lang",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
