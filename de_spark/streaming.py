@@ -146,3 +146,34 @@ def running_source_stats(docs: DataFrame, timeout: str = "NoTimeout") -> DataFra
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def windowed_source_rates(
+    docs: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """Event-time windowed per-source ingestion rates with a WATERMARK
+    bounding late data: (window, source) → docs/tokens.
+
+    Late rows arriving within the watermark still merge into their
+    window; rows later than the watermark are DROPPED and the closed
+    window's state is reclaimed — the property that keeps an unbounded
+    stream's state bounded at 100 TB.  Under append output a window is
+    emitted exactly once, when the watermark passes its end."""
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("source"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("tokens"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "source",
+            "docs",
+            "tokens",
+        )
+    )

@@ -127,3 +127,66 @@ def test_chunking_composes_with_streaming(spark, tmp_path):
     out = _drain(chunk_documents(docs, chunk_tokens=4, overlap=1), "chunk_sink", spark)
     rows = {(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out.collect()}
     assert rows == {(1, 0, "a b c d"), (1, 1, "d e f")}
+
+
+def test_windowed_rates_watermark_drops_late_rows(spark, tmp_path):
+    """Watermarked event-time windows (the late-data surface): rows
+    within the watermark merge into their window, a row later than the
+    watermark is DROPPED, and append mode emits each finalized window
+    exactly once across catch-up runs sharing one checkpoint."""
+    import json
+
+    landing = tmp_path / "win_landing"
+    os.makedirs(landing)
+    ckpt = str(tmp_path / "win_ckpt")
+    schema = "event_time timestamp, source string, text string"
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for ts, text in rows:
+                f.write(json.dumps(
+                    {"event_time": ts, "source": "s1", "text": text}) + "\n")
+
+    got = []
+
+    def run(name):
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # can, and catch-up runs share one checkpoint here
+        stream = spark.readStream.schema(schema).json(str(landing))
+        q = (
+            streaming.windowed_source_rates(stream)
+            .writeStream.foreachBatch(
+                lambda batch_df, _bid: got.extend(batch_df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return []
+    # window [10:00,10:10): two rows; the 10:30 row advances the
+    # watermark to 10:10 so that window can finalize
+    write_file("f1.json", [
+        ("2024-01-01T10:00:00", "a b"),
+        ("2024-01-01T10:05:00", "c"),
+        ("2024-01-01T10:30:00", "d e f"),
+    ])
+    got += run("win_r1")
+    # 10:02 is LATE (watermark 10:10, its window already closed) →
+    # dropped; 11:00 advances the watermark to 10:40
+    write_file("f2.json", [
+        ("2024-01-01T10:02:00", "late late late"),
+        ("2024-01-01T11:00:00", "g"),
+    ])
+    got += run("win_r2")
+    # flush: far-future row finalizes everything before it
+    write_file("f3.json", [("2024-01-01T12:30:00", "h")])
+    got += run("win_r3")
+
+    by_start = {str(r["win_start"]): (r["docs"], r["tokens"]) for r in got}
+    # each window emitted once; the late row changed NOTHING
+    assert len(by_start) == len(got)
+    assert by_start["2024-01-01 10:00:00"] == (2, 3)   # not (3, 6)
+    assert by_start["2024-01-01 10:30:00"] == (1, 3)
+    assert by_start["2024-01-01 11:00:00"] == (1, 1)
