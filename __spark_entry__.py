@@ -515,6 +515,21 @@ def _events_latest_per_user(spark, sf_dir):
     )
 
 
+def _events_windowed_rates(spark, sf_dir):
+    """Tumbling event-time windows (batch twin of
+    de_spark.streaming.windowed_source_rates — same F.window groupBy
+    the watermarked streaming op runs incrementally): per-hour
+    per-type event counts and value sums."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n", "total"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops queries
 # ---------------------------------------------------------------------------
@@ -676,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_union": _events_union,
         "events_agg_by_type": _events_agg_by_type,
         "events_latest_per_user": _events_latest_per_user,
+        "events_windowed_rates": _events_windowed_rates,
         # training-data ops
         "text_analyze": _text_analyze,
         "text_chunk_docs": _text_chunk_docs,
@@ -1124,6 +1140,15 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           FROM events
         ) WHERE rn = 1
+        """,
+        # Spark F.window tumbling starts are epoch-aligned, same as
+        # time_bucket for a 1-hour bucket
+        "events_windowed_rates": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2
         """,
         "text_analyze": f"""
         SELECT doc_id,
