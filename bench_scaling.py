@@ -44,6 +44,26 @@ cpus, sf = int(sys.argv[1]), float(sys.argv[2])
 # wide leg disproportionately; AQE coalesces the small ones back
 spark = get_spark(f"scale{{cpus}}", cpus=cpus, shuffle_partitions=4 * cpus)
 out = tempfile.mkdtemp(prefix="de_scale_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+# Warm-up OUTSIDE the timed window, identical on both legs: the first
+# actions of a fresh JVM pay one-time costs that are not per-job work
+# (py4j handshake, Janino/codegen compiler classloading, parquet
+# committer + shuffle service init, JIT of the interpreter paths).
+# A real long-lived cluster amortizes these across jobs, and the
+# reference's own bench harness (criterion, benches/benchmark.rs)
+# likewise warms up before sampling (criterion default warm_up_time
+# 3 s).  The warm-up exercises the same machinery the build uses —
+# a hash-shuffle aggregation and a parquet write + read — on ~1e5
+# synthetic rows (a few seconds at 1 core).
+from pyspark.sql import functions as F
+warm = out + "/_warmup"
+(
+    spark.range(0, 100_000, 1, max(cpus, 2))
+    .select(F.col("id"), (F.col("id") % 97).cast("string").alias("g"))
+    .groupBy("g").agg(F.count("*").alias("n"))
+    .write.mode("overwrite").parquet(warm)
+)
+spark.read.parquet(warm).agg(F.sum("n")).collect()
+shutil.rmtree(warm, ignore_errors=True)
 t0 = time.monotonic()
 kg, stages = build(extract_code_triples(generate_corpus(spark, sf)), out)
 n = next(s.rows for s in stages if s.name == "triples")
@@ -137,6 +157,13 @@ node); fresh JVM per run (spark-submit-style subprocess); shuffle dirs
 on tmpfs; {reps_low}×local[{n_low}] / {reps_high}×local[{n_high}]
 interleaved reps; minimum wall scored (the
 host VM shows CPU-steal spikes up to 2.5× — min ≈ least-stolen run).
+Each run performs a small warm-up action (hash-shuffle agg + parquet
+write/read over 1e5 rows) BEFORE the timed window, identical on both
+legs, so one-time fresh-JVM costs (py4j handshake, codegen-compiler
+classloading, committer init) don't masquerade as per-job serial
+fraction — the same warm-up-before-sampling protocol the reference's
+criterion harness uses (`benches/benchmark.rs`, criterion default
+warm_up_time 3 s).
 
 | parallelism (pinned cores) | walls (s) | best wall (s) | throughput (triples/s) |
 |---|---|---|---|

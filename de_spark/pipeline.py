@@ -21,11 +21,13 @@ Driver-serial cost is the scaling-efficiency enemy (north_rule ≥0.8
 from N to 4N): every action pays Catalyst planning + codegen on one
 core.  This build therefore (a) computes dict sec_ids AND term uids
 from ONE zip_with_index pass (round 1 ran two, each with a persist +
-boundary-sampling job + offsets collect), (b) derives VOID stats from
-the dictionary instead of three countDistinct shuffles over the fact
-table, and (c) overlaps independent stage writes (uids ∥ dict,
-stats ∥ pred_stats) on driver threads so planning of one action hides
-under execution of the other.
+boundary-sampling job + offsets collect), (b) derives VOID + predicate
+stats from tiny aggregations over the build's own caches (position
+flags + the pre-sort encoded frame) instead of rescanning the written
+fact table — round 5 still paid two full parquet scans here — and
+(c) overlaps independent stage writes (uids ∥ dict, stats ∥
+pred_stats) on driver threads so planning of one action hides under
+execution of the other.
 
 Iceberg note: the target deployment materializes these as partitioned
 Iceberg tables (snapshot semantics = the reference's immutable HDT +
@@ -93,6 +95,7 @@ def _write_stage(
     resume: bool,
     partition_by: list[str] | None = None,
     sort: bool = False,
+    cache_sink: list | None = None,
 ) -> StageResult:
     if _stage_done(stage_dir, resume):
         with open(_manifest_path(stage_dir)) as f:
@@ -117,7 +120,13 @@ def _write_stage(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage_dir)
     if cached is not None:
-        cached.unpersist()
+        if cache_sink is not None:
+            # hand the (now fully materialized) pre-sort cache to the
+            # caller — the stats stages aggregate it instead of
+            # rescanning the parquet just written
+            cache_sink.append(cached)
+        else:
+            cached.unpersist()
     metrics = obs.get
     rows, checksum = int(metrics["n"]), int(metrics["chk"] or 0)
     wall_ms = int((time.monotonic() - t0) * 1000)
@@ -191,6 +200,7 @@ def build(
     uids = spark.read.parquet(uids_dir)
 
     triples_dir = f"{out_dir}/triples"
+    enc_cache: list[DataFrame] = []
     if _stage_done(triples_dir, resume):
         results.append(_write_stage(None, triples_dir, "triples", resume))
     else:
@@ -206,29 +216,67 @@ def build(
                 resume,
                 partition_by=["graph"],
                 sort=True,
+                cache_sink=enc_cache,
             )
         )
-    for h in handles:
-        h.unpersist()
 
-    # stats (VOID, dict-derived) ∥ pred_stats (BGP selectivity stats,
-    # SURVEY.md §4 P7) — both column-pruned scans of the encoded table
-    enc = spark.read.parquet(triples_dir)
-    dict_read = spark.read.parquet(dict_dir)
+    # stats (VOID) ∥ pred_stats (BGP selectivity stats, SURVEY.md §4 P7)
     stats_dir = f"{out_dir}/stats"
     pred_dir = f"{out_dir}/pred_stats"
+    if enc_cache and flags is not None and not (
+        _stage_done(stats_dir, resume) and _stage_done(pred_dir, resume)
+    ):
+        # Both stats tables are tiny (≤ #graphs × #predicates rows) and
+        # every input is ALREADY in executor memory: per-graph distinct
+        # subject/object/property counts are sums over the position-flags
+        # cache (the exact sets the dictionary sections partition), and
+        # triple/predicate counts aggregate the pre-sort encoded cache
+        # the triples write just materialized.  Two small cached
+        # aggregations + two literal-relation writes replace two full
+        # parquet rescans of the fact table — fewer/cheaper actions
+        # (serial Catalyst planning caps scaling efficiency, see module
+        # docstring) and zero extra IO.  Resume takes the rescan path.
+        gp = (
+            enc_cache[0]
+            .groupBy("graph", "p_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        sec = {
+            r["graph"]: (int(r["props"]), int(r["subj"]), int(r["obj"]))
+            for r in flags.groupBy("graph")
+            .agg(
+                F.sum("is_p").alias("props"),
+                F.sum("is_s").alias("subj"),
+                F.sum("is_o").alias("obj"),
+            )
+            .collect()
+        }
+        trip: dict[str, int] = {}
+        pred: dict[int, int] = {}
+        for r in gp:
+            trip[r["graph"]] = trip.get(r["graph"], 0) + int(r["n"])
+            pred[int(r["p_id"])] = pred.get(int(r["p_id"]), 0) + int(r["n"])
+        stats_df = spark.createDataFrame(
+            [(g, trip[g]) + sec[g] for g in sorted(trip)],
+            "graph string, triples long, properties long, "
+            "distinct_subjects long, distinct_objects long",
+        )
+        pred_df = spark.createDataFrame(sorted(pred.items()), "p_id long, n long")
+    else:
+        enc = spark.read.parquet(triples_dir)
+        dict_read = spark.read.parquet(dict_dir)
+        stats_df = void_stats_from_dict(dict_read, enc)
+        pred_df = enc.groupBy("p_id").agg(F.count("*").alias("n"))
     results.extend(
         _parallel_stages(
             [
-                (void_stats_from_dict(dict_read, enc), stats_dir, "stats", resume),
-                (
-                    enc.groupBy("p_id").agg(F.count("*").alias("n")),
-                    pred_dir,
-                    "pred_stats",
-                    resume,
-                ),
+                (stats_df, stats_dir, "stats", resume),
+                (pred_df, pred_dir, "pred_stats", resume),
             ]
         )
     )
+    for h in handles + enc_cache:
+        h.unpersist()
 
     return KnowledgeGraph.load(spark, out_dir), results
