@@ -314,6 +314,31 @@ def _kg_sparql_arith_types(spark, sf_dir):
     )
 
 
+def _kg_sparql_bigint_sum(spark, sf_dir):
+    """EXACT integer arithmetic beyond 2^53 (VERDICT r5 item 1): each
+    doc's ?big = ?n × 4503599627370497 + 11 is ≈10^17-10^18 (above the
+    2^53 double-exact bound), and the per-language SUM is ≈10^19-10^20
+    (beyond even i64) — the decimal(38,0) exact lane must carry BIND,
+    SUM and MAX to the precise lexical form; the double lane's
+    rounding would be wrong in the last several digits.  The DuckDB
+    oracle computes in HUGEINT (int128), exact at this magnitude.
+    Reference: spareval's exact integer operator dispatch
+    (src/sparql.rs:520)."""
+    from de_spark.query import sparql_select
+
+    kg = documents_kg(spark, sf_dir)
+    return sparql_select(
+        kg,
+        f"""
+        SELECT ?lang (SUM(?big) AS ?total) (MAX(?big) AS ?mx) WHERE {{
+          ?d <{CODE}lang> ?lang .
+          ?d <{CODE}nChars> ?n .
+          BIND(?n * 4503599627370497 + 11 AS ?big)
+        }} GROUP BY ?lang ORDER BY ?lang
+        """,
+    )
+
+
 def _kg_sparql_datetime_order(spark, sf_dir):
     """xsd:dateTime VALUE semantics through the text surface: the
     FILTER constant carries a +02:00 offset (normalizes to the same
@@ -675,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional_filter": _kg_sparql_optional_filter,
         "kg_sparql_agg_distinct": _kg_sparql_agg_distinct,
         "kg_sparql_arith_types": _kg_sparql_arith_types,
+        "kg_sparql_bigint_sum": _kg_sparql_bigint_sum,
         "kg_sparql_datetime_order": _kg_sparql_datetime_order,
         "kg_sparql_boolean_value": _kg_sparql_boolean_value,
         "kg_mentions_degree": _kg_mentions_degree,
@@ -1061,6 +1087,19 @@ def oracle_sql() -> dict[str, str]:
                    || '"^^<{_XSD}decimal>' AS half,
                '"' || (n_chars * 1.5)::VARCHAR || '"^^<{_XSD}double>' AS dbl
         FROM documents
+        """,
+        # exact big-integer arithmetic: per-row ?big ≈ 1e17-1e18
+        # (> 2^53) and per-group SUM ≈ 1e19-1e20 (> i64) — HUGEINT
+        # (int128) restates the decimal(38,0) exact lane; any
+        # double-lane rounding shows up as a hash mismatch in the
+        # trailing digits
+        "kg_sparql_bigint_sum": f"""
+        SELECT '"' || lang || '"' AS lang,
+               '"' || (SUM(n_chars::HUGEINT * 4503599627370497 + 11))::VARCHAR
+                   || '"^^<{_XSD}integer>' AS total,
+               '"' || (MAX(n_chars::HUGEINT * 4503599627370497 + 11))::VARCHAR
+                   || '"^^<{_XSD}integer>' AS mx
+        FROM documents GROUP BY lang ORDER BY 1
         """,
         "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

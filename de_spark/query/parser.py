@@ -762,7 +762,11 @@ class Parser:
             has_exp = "e" in t.value.lower()
             is_int = "." not in t.value and not has_exp
             kind = "int" if is_int else ("dbl" if has_exp else "dec")
-            return NumE(float(t.value), is_int, kind)
+            # integer literals keep the exact Python int — float()
+            # would round lexicals beyond 2^53 at PARSE time (the
+            # exact-arithmetic lane can't recover a mis-parsed
+            # constant; VERDICT r5 item 1)
+            return NumE(int(t.value) if is_int else float(t.value), is_int, kind)
         if t.kind == "LIT":
             self.next()
             return TermE(self._literal_term(t.value))

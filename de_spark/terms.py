@@ -69,16 +69,26 @@ def numeric_value(term: Column) -> Column:
     NULL — the SPARQL 1.1 operator-mapping view of a term (two
     lexically different integers, "1" and "01", compare equal by
     value; the reference inherits this from oxigraph spareval).
-    XSD spells the special float/double values "INF"/"-INF"/"NaN";
-    the JVM cast only accepts "Infinity"/"NaN", so INF maps
-    explicitly."""
+    XSD 1.1 spells the special float/double values "INF"/"+INF"/
+    "-INF"/"NaN"; the JVM cast only accepts "Infinity"/"NaN", so INF
+    maps explicitly — and ONLY for xsd:float/xsd:double, where the
+    value space has infinities ("INF"^^xsd:integer is an invalid
+    lexical and must stay NULL; ADVICE r5)."""
     lv = literal_value(term)
+    dt = literal_datatype(term)
+    has_inf = dt.isin(XSD + "float", XSD + "double")
+    cast = lv.try_cast("double")
+    # Spark's string→double cast itself accepts "INF"/"Infinity"/"NaN"
+    # spellings, so integer/decimal datatypes (whose value spaces have
+    # no specials) must reject non-finite results explicitly
+    finite = cast.isNotNull() & ~F.isnan(cast) & (F.abs(cast) != float("inf"))
     v = (
-        F.when(lv == "INF", F.lit(float("inf")))
-        .when(lv == "-INF", F.lit(float("-inf")))
-        .otherwise(lv.try_cast("double"))
+        F.when(has_inf & lv.isin("INF", "+INF"), F.lit(float("inf")))
+        .when(has_inf & (lv == "-INF"), F.lit(float("-inf")))
+        .when(has_inf, cast)
+        .when(finite, cast)
     )
-    return F.when(literal_datatype(term).isin(_NUMERIC_DTS), v)
+    return F.when(dt.isin(_NUMERIC_DTS), v)
 
 
 # XPath numeric promotion ranks (op:numeric-* resolution order:
@@ -92,6 +102,23 @@ _INT_DTS = [
         "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte",
     )
 ]
+
+
+def integer_value(term: Column) -> Column:
+    """EXACT integer value of an integer-family literal as
+    decimal(38,0), else NULL.  The double lane of `numeric_value`
+    loses precision above 2^53; SPARQL xsd:integer arithmetic is
+    arbitrary-precision (the reference gets exact i64 ops from
+    spareval's operator dispatch, src/sparql.rs:520), so the
+    expression compiler carries this exact lane alongside the double
+    whenever the operands are integer-kinded.  38 digits is the
+    documented bound (Spark's widest decimal); beyond it the lexical
+    try_cast yields NULL and the result degrades to unbound rather
+    than a silently-wrong rendering."""
+    return F.when(
+        literal_datatype(term).isin(_INT_DTS),
+        literal_value(term).try_cast("decimal(38,0)"),
+    )
 
 
 def numeric_kind(term: Column) -> Column:
