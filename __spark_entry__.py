@@ -677,7 +677,31 @@ def _ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(assigned, cents_df, q, k=20, n_probe=4)
 
 
+def _release_prior_caches(fn):
+    """Release the PREVIOUS query's operator caches (persisted minhash
+    signatures, IVF assignments, component labels) before starting the
+    next one, so a long contract/bench session holds at most one
+    invocation's caches (ADVICE r5 — the contract path leaked one
+    cache entry per dedup_minhash_lsh run).  By invocation time the
+    harness has materialized the prior result, so unpersist is safe."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        from de_spark.ops import release_operator_caches
+
+        release_operator_caches()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    qs = _raw_queries()
+    return {name: _release_prior_caches(fn) for name, fn in qs.items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (engine code path)
         "kg_triples_raw": _kg_triples_raw,

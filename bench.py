@@ -121,19 +121,36 @@ QUERY_NAMES = [
 ]
 
 
-def _bench_suite(spark, qs, sf_dir: str, reps: int) -> tuple[dict, dict]:
+def _gc_ms(spark) -> int:
+    """Cumulative JVM GC time (ms) — local mode: driver == executors."""
+    beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _bench_suite(spark, qs, sf_dir: str, reps: int) -> tuple[dict, dict, dict]:
     """Run every suite query ``reps`` times against ``sf_dir``;
-    returns ({name: min_sec}, {name: [walls...]}).  Caches persisted
-    by an operator (MinHash signatures, via ``handles``) are released
-    after each rep so the suite leaves no storage behind."""
+    returns ({name: min_sec}, {name: [walls...]}, {name: [diag...]}).
+    Caches persisted by an operator (MinHash signatures, via
+    ``handles``) are released after each rep so the suite leaves no
+    storage behind; per-rep diagnostics record the persistent-RDD
+    count and GC-time delta so wall drift gets a NAMED cause instead
+    of a shrug (VERDICT r5 item 2 — suite-cumulative storage pressure
+    was the suspected driver of the not_exists/path_reach drift)."""
     from de_spark.ops import dedup as _dedup
 
     mins: dict[str, float] = {}
     walls: dict[str, list[float]] = {}
+    diags: dict[str, list[dict]] = {}
     for name in QUERY_NAMES:
         ws: list[float] = []
+        ds: list[dict] = []
         for _ in range(reps):
             handles: list = []
+            gc0 = _gc_ms(spark)
             t0 = time.monotonic()
             if name == "dedup_minhash_lsh":
                 # the contract entry runs minhash in portable-md5 mode
@@ -151,9 +168,27 @@ def _bench_suite(spark, qs, sf_dir: str, reps: int) -> tuple[dict, dict]:
             ws.append(round(time.monotonic() - t0, 3))
             for h in handles:
                 h.unpersist()
+            ds.append(
+                {"rdds": _n_persistent(spark), "gc_ms": _gc_ms(spark) - gc0}
+            )
         mins[name] = min(ws)
         walls[name] = ws
-    return mins, walls
+        diags[name] = ds
+    return mins, walls, diags
+
+
+def _release_suite_caches(spark) -> dict:
+    """Drop every suite-held cache (documents KG per sf_dir + operator
+    caches) between scale points; returns what was released."""
+    from de_spark.docs_kg import release_documents_kg
+    from de_spark.ops import release_operator_caches
+
+    released = {
+        "kg_frames": release_documents_kg(),
+        "operator_caches": release_operator_caches(),
+    }
+    released["rdds_after"] = _n_persistent(spark)
+    return released
 
 
 def main() -> None:
@@ -175,16 +210,26 @@ def main() -> None:
 
     qs = entrymod.queries()
     by_sf: dict[str, dict] = {}
-    primary_mins, primary_walls = _bench_suite(spark, qs, sf_dir, reps)
-    by_sf[str(sf)] = {"queries": primary_mins, "walls": primary_walls}
+    primary_mins, primary_walls, primary_diags = _bench_suite(spark, qs, sf_dir, reps)
+    by_sf[str(sf)] = {
+        "queries": primary_mins,
+        "walls": primary_walls,
+        "diag": primary_diags,
+        "released": _release_suite_caches(spark),
+    }
 
     # second scale point: per-query scaling slope, not just one wall
     alt_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     if os.path.isdir(alt_dir) and os.path.abspath(alt_dir) != os.path.abspath(
         sf_dir.rstrip("/")
     ):
-        alt_mins, alt_walls = _bench_suite(spark, qs, alt_dir, reps)
-        by_sf["0.01"] = {"queries": alt_mins, "walls": alt_walls}
+        alt_mins, alt_walls, alt_diags = _bench_suite(spark, qs, alt_dir, reps)
+        by_sf["0.01"] = {
+            "queries": alt_mins,
+            "walls": alt_walls,
+            "diag": alt_diags,
+            "released": _release_suite_caches(spark),
+        }
 
     total = round(time.monotonic() - total0, 3)
     queries = {"kg_build": kg_build["wall_sec"], **primary_mins}

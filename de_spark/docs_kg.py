@@ -115,17 +115,25 @@ def documents_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KG_CACHE: dict[str, KnowledgeGraph] = {}
+# the .cache()d frames behind each KG, so release can unpersist them
+_KG_CACHED_FRAMES: dict[str, list[DataFrame]] = {}
 
 
 def documents_kg(spark: SparkSession, sf_dir: str) -> KnowledgeGraph:
-    """Build (and cache per sf_dir) the in-memory KG over documents."""
+    """Build (and cache per sf_dir) the in-memory KG over documents.
+
+    The cache is deliberate WITHIN a suite of kg_* queries (they share
+    the dictionary/triples); call :func:`release_documents_kg` when a
+    bench/contract run moves on to another sf_dir so executor storage
+    doesn't accumulate across suites (VERDICT r5 item 2)."""
     key = sf_dir.rstrip("/")
     if key in _KG_CACHE:
         return _KG_CACHE[key]
     raw = documents_triples(spark, sf_dir).cache()
     # single shared index pass (the pipeline's path): dict sec_ids and
     # term uids from one (graph, sec_ord, term) sorted layout
-    dict_df, uids = build_dict_and_uids(position_flags(raw))
+    handles: list[DataFrame] = []
+    dict_df, uids = build_dict_and_uids(position_flags(raw), handles=handles)
     uids = uids.cache()
     kg = KnowledgeGraph(
         term_uids=uids,
@@ -134,7 +142,28 @@ def documents_kg(spark: SparkSession, sf_dir: str) -> KnowledgeGraph:
         stats=void_stats(raw).cache(),
     )
     _KG_CACHE[key] = kg
+    # handles: the index pass's internal persists (zip_with_index
+    # layout) — released together with the visible frames
+    _KG_CACHED_FRAMES[key] = [raw, uids, kg.dict_df, kg.triples, kg.stats, *handles]
     return kg
+
+
+def release_documents_kg(sf_dir: str | None = None) -> int:
+    """Unpersist the cached KG frames for ``sf_dir`` (or every sf_dir
+    when None) and forget the KG, so the next documents_kg call
+    rebuilds fresh.  Returns the number of frames released."""
+    keys = (
+        [sf_dir.rstrip("/")]
+        if sf_dir is not None
+        else list(_KG_CACHE.keys())
+    )
+    n = 0
+    for key in keys:
+        _KG_CACHE.pop(key, None)
+        for df in _KG_CACHED_FRAMES.pop(key, []):
+            df.unpersist()
+            n += 1
+    return n
 
 
 # The same extraction as ANSI SQL (DuckDB oracle) — one CTE reused by

@@ -187,9 +187,16 @@ def minhash_lsh_pairs(
     # materialization
     from pyspark import StorageLevel
 
+    from de_spark.ops import register_operator_cache
+
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     if handles is not None:
         handles.append(sigs)
+    else:
+        # no owning caller: track in the session registry so the next
+        # release_operator_caches() frees it (ADVICE r5 — the contract
+        # path leaked one cache entry per invocation)
+        register_operator_cache(sigs)
     banded = sigs.select("doc_id", band_cols).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -314,6 +321,12 @@ def dedup_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> Da
     else:
         raise ValueError("dedup_components did not converge in 64 rounds")
     edges.unpersist()
+    from de_spark.ops import register_operator_cache
+
+    # the converged labels frame stays persisted (the result reads it
+    # lazily); the session registry releases it after the caller
+    # materializes downstream
+    register_operator_cache(labels)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canon_id"))
 
 

@@ -298,6 +298,11 @@ def ivf_build(
         assigned = _assign_to_centroids(embeddings, centroids_df, id_col, vec_col).persist()
         assigned.count()  # materialize before dropping the previous round
         prev.unpersist()
+    from de_spark.ops import register_operator_cache
+
+    # the final assignment cache backs ivf_topk lazily; the session
+    # registry releases it once the caller is done (ADVICE r5 hygiene)
+    register_operator_cache(assigned)
     return centroids_df, assigned
 
 
