@@ -142,6 +142,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     portable: bool = False,
     handles: list | None = None,
+    dense_bucket_cap: int = 256,
+    dense_report: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     similarity ≥ threshold.  Returns (a, b, sig_sim).
@@ -149,7 +151,25 @@ def minhash_lsh_pairs(
     ``handles``, when given, collects the persisted signatures frame so
     the CALLER can unpersist it after materializing the result (the
     zip_with_index pattern, dictionary.py) — the result reads the cache
-    lazily, so it cannot be released here."""
+    lazily, so it cannot be released here.
+
+    **Dense buckets** (VERDICT r5): the all-pairs self-join is
+    quadratic in bucket width — a duplicate-heavy corpus (the exact
+    thing dedup targets) creates mega-buckets, and one 10k-doc bucket
+    alone is 50M candidate pairs.  Buckets wider than
+    ``dense_bucket_cap`` therefore switch from clique to
+    REPRESENTATIVE-STAR candidates: every member pairs with the
+    bucket's min doc_id only — O(width), not O(width²) — which
+    preserves near-dup CONNECTIVITY (any two members stay connected
+    through the representative whenever both verify against it; for
+    the mega-bucket case — near-identical content sharing a whole
+    band — signatures agree and all spokes verify).  The full pair
+    list inside a dense bucket is deliberately not emitted; component
+    building (``dedup_components``) is unaffected.  Not a silent cap:
+    pass ``dense_report={}`` to get back
+    ``{"dense_buckets", "docs_in_dense", "max_bucket"}`` counted from
+    the cached signatures (one extra slim aggregate), and the
+    docstring + default make the sparsification explicit."""
     rows_per_band = num_hashes // bands
 
     def band_hash(parts):
@@ -200,14 +220,48 @@ def minhash_lsh_pairs(
     banded = sigs.select("doc_id", band_cols).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
-    right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
-    cand_ids = (
+    # one shuffle of the slim (doc_id, band, bucket) rows keyed on the
+    # SAME (band, bucket) the candidate join uses: the window computes
+    # bucket width + representative, and the join downstream reuses
+    # the exchange
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "bucket")
+    banded = banded.withColumn("bsz", F.count("*").over(wb)).withColumn(
+        "rep", F.min("doc_id").over(wb)
+    )
+    if dense_report is not None:
+        row = (
+            banded.where(F.col("bsz") > dense_bucket_cap)
+            .agg(
+                F.count_distinct("band", "bucket").alias("dense_buckets"),
+                F.count_distinct("doc_id").alias("docs_in_dense"),
+                F.max("bsz").alias("max_bucket"),
+            )
+            .collect()[0]
+        )
+        dense_report.update(
+            dense_buckets=row["dense_buckets"],
+            docs_in_dense=row["docs_in_dense"] or 0,
+            max_bucket=row["max_bucket"] or 0,
+            cap=dense_bucket_cap,
+        )
+    small = banded.where(F.col("bsz") <= dense_bucket_cap)
+    left = small.select(F.col("doc_id").alias("a"), "band", "bucket")
+    right = small.select(F.col("doc_id").alias("b"), "band", "bucket")
+    clique = (
         left.join(right, ["band", "bucket"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
-        .dropDuplicates(["a", "b"])
     )
+    # rep = min(doc_id) over the bucket, so rep < doc_id keeps the
+    # global a < b invariant without a comparison join
+    star = (
+        banded.where(F.col("bsz") > dense_bucket_cap)
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("doc_id").alias("b"))
+    )
+    cand_ids = clique.unionByName(star).dropDuplicates(["a", "b"])
     cand = cand_ids.join(
         sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a"
     ).join(sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b")

@@ -190,3 +190,102 @@ def test_windowed_rates_watermark_drops_late_rows(spark, tmp_path):
     assert by_start["2024-01-01 10:00:00"] == (2, 3)   # not (3, 6)
     assert by_start["2024-01-01 10:30:00"] == (1, 3)
     assert by_start["2024-01-01 11:00:00"] == (1, 1)
+
+
+def test_stream_exact_dedup_watermarked_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark twin of exact dedup: a duplicate
+    arriving within the watermark of the first copy is dropped; once
+    the watermark passes the first copy's event time + delay, its
+    state is RECLAIMED and the same content is admitted again (the
+    explicit bounded-state trade; batch exact_dedup compacts later).
+    Catch-up runs share one checkpoint so the watermark persists."""
+    import json
+
+    landing = tmp_path / "wm_landing"
+    os.makedirs(landing)
+    ckpt = str(tmp_path / "wm_ckpt")
+    schema = "doc_id LONG, text STRING, event_time TIMESTAMP"
+    got = []
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for doc_id, text, ts in rows:
+                f.write(json.dumps(
+                    {"doc_id": doc_id, "text": text, "event_time": ts}) + "\n")
+
+    def run():
+        docs = spark.readStream.schema(schema).json(str(landing))
+        q = (
+            streaming.stream_exact_dedup_watermarked(docs, watermark="1 hour")
+            .writeStream.foreachBatch(
+                lambda batch_df, _bid: got.extend(batch_df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: doc 2 duplicates doc 1 within the 1h watermark → dropped
+    write_file("f1.json", [
+        (1, "dup text", "2024-01-01T10:00:00"),
+        (2, "dup text", "2024-01-01T10:30:00"),
+        (3, "other", "2024-01-01T10:10:00"),
+    ])
+    run()
+    # run 2: advances the watermark to 13:00, past doc 1's
+    # event_time + delay (11:00) → "dup text" state reclaimed
+    write_file("f2.json", [(4, "advance", "2024-01-01T14:00:00")])
+    run()
+    # run 3: the same content re-arrives AFTER the watermark → admitted
+    write_file("f3.json", [(5, "dup text", "2024-01-01T14:30:00")])
+    run()
+
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == [1, 3, 4, 5]  # 2 dropped in-watermark; 5 re-admitted
+
+
+def test_windowed_rates_blank_text_counts_zero_tokens(spark, tmp_path):
+    """Blank text contributes a doc but ZERO tokens — same tokenizer
+    as the batch surface (ops.text.token_count); a raw split would
+    count the empty string as one token (ADVICE r5)."""
+    import json
+
+    landing = tmp_path / "blank_landing"
+    os.makedirs(landing)
+    ckpt = str(tmp_path / "blank_ckpt")
+    schema = "event_time timestamp, source string, text string"
+    got = []
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for ts, text in rows:
+                f.write(json.dumps(
+                    {"event_time": ts, "source": "s1", "text": text}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(landing))
+        q = (
+            streaming.windowed_source_rates(stream)
+            .writeStream.foreachBatch(
+                lambda batch_df, _bid: got.extend(batch_df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_file("f1.json", [
+        ("2024-01-01T10:00:00", ""),
+        ("2024-01-01T10:01:00", "  "),
+        ("2024-01-01T10:02:00", "one two"),
+    ])
+    run()
+    # flush run: far-future row finalizes the 10:00 window
+    write_file("f2.json", [("2024-01-01T12:00:00", "flush")])
+    run()
+    rows = {str(r["win_start"]): (r["docs"], r["tokens"]) for r in got}
+    assert rows["2024-01-01 10:00:00"] == (3, 2)  # not (3, 4)
