@@ -642,6 +642,21 @@ def _embedding_neardup(spark, sf_dir):
     )
 
 
+def _image_neardup(spark, sf_dir):
+    """Image near-duplicates via perceptual hash (dHash over REAL
+    decoded PPM/PNG pixels) + Hamming-banded grouping (VERDICT r5
+    item 5).  The 30-image fixture is deterministic integer pixel
+    arithmetic, so the DuckDB oracle restates the gradient, the 9×8
+    cell pooling, the cross-multiplied mean comparisons, and the
+    bit packing VERBATIM and the banded plan must reproduce the
+    all-pairs answer exactly (4 bands are pigeonhole-complete for
+    Hamming ≤ 3)."""
+    from de_spark.ops import multimodal
+
+    media = multimodal.image_fixture_media(spark)
+    return multimodal.image_neardup_pairs(media, max_hamming=3)
+
+
 def _dedup_canonical_vecs(spark, sf_dir):
     """Near-dup pairs → connected components → canonical member per
     cluster (iterative min-label propagation; oracle = recursive CTE)."""
@@ -752,6 +767,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "embedding_neardup": _embedding_neardup,
+        "image_neardup": _image_neardup,
         "dedup_canonical_vecs": _dedup_canonical_vecs,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -848,6 +864,65 @@ def _simhash_oracle() -> str:
         tok2 AS (SELECT doc_id, tok, {ph} AS h FROM toks WHERE tok != ''),
         votes AS (SELECT doc_id, {votes} FROM tok2 GROUP BY doc_id)
         SELECT doc_id, ({val})::BIGINT AS simhash FROM votes
+    """
+
+
+def _image_neardup_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of the image near-dup fixture: restates the
+    deterministic pixel gradient, the 9×8 cell pooling (pixel →
+    cell by ``x*GW // W``), the cross-multiplied mean comparisons,
+    the 64-bit packing (bit 63 → sign), and the Hamming filter —
+    ALL integer arithmetic, so the match is value-exact.  The Spark
+    side must agree through a REAL decode of the encoded PPM/PNG
+    payloads; the banded plan equals this all-pairs answer because 4
+    bands are pigeonhole-complete for Hamming ≤ 3."""
+    from de_spark.ops import multimodal as mm
+
+    w, h, gw, gh = mm.FIX_W, mm.FIX_H, mm.IMG_GRID_W, mm.IMG_GRID_H
+    n, g = mm.FIX_N, mm.FIX_GROUPS
+    return f"""
+        WITH imgs AS (
+          SELECT i AS media_id, i % {g} AS seed,
+                 CASE WHEN i >= {g} AND i < {2 * g} THEN {mm.FIX_DELTA} ELSE 0 END AS delta,
+                 CASE WHEN i >= {2 * g} THEN {mm.FIX_BUMP} ELSE 0 END AS bump
+          FROM generate_series(0, {n - 1}) t(i)
+        ),
+        px AS (
+          SELECT media_id,
+                 (x * {gw}) // {w} AS cx, (y * {gh}) // {h} AS cy,
+                 ((x + 2*y + 11*seed) % 241)
+               + ((2*x + y + 17*seed) % 241)
+               + ((x + y + 29*seed) % 241)
+               + 3 * delta
+               + 3 * (CASE WHEN (x * {gw}) // {w} = {mm.FIX_PATCH_CX}
+                            AND (y * {gh}) // {h} = {mm.FIX_PATCH_CY}
+                           THEN bump ELSE 0 END) AS gs
+          FROM imgs,
+               generate_series(0, {w - 1}) tx(x),
+               generate_series(0, {h - 1}) ty(y)
+        ),
+        cells AS (
+          SELECT media_id, cy, cx, SUM(gs) AS s, COUNT(*) AS c
+          FROM px GROUP BY media_id, cy, cx
+        ),
+        bits AS (
+          SELECT l.media_id, l.cy * {gw - 1} + l.cx AS i,
+                 CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS bit
+          FROM cells l
+          JOIN cells r ON r.media_id = l.media_id
+                      AND r.cy = l.cy AND r.cx = l.cx + 1
+        ),
+        hashes AS (
+          SELECT media_id,
+                 SUM(CASE WHEN bit = 0 THEN 0
+                          WHEN i = 63 THEN -9223372036854775808
+                          ELSE (1::BIGINT << i::INT) END)::BIGINT AS dhash
+          FROM bits GROUP BY media_id
+        )
+        SELECT a.media_id AS a, b.media_id AS b,
+               bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+        FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
     """
 
 
@@ -1348,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_simhash": _simhash_oracle(),
+        "image_neardup": _image_neardup_oracle(),
         "ann_lsh_topk": _lsh_topk_oracle(),
         # ann_ivf_topk: iterative k-means has no closed-form SQL twin →
         # golden-parquet oracle (regenerated by tools/make_goldens.py;

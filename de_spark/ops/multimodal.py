@@ -134,9 +134,21 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
     """Deterministic 8-bit RGB PNG of the seeded gradient.  Each row is
     filtered with type ``row % 5`` so a decoder must implement ALL five
     PNG filters (None/Sub/Up/Average/Paeth) to round-trip it."""
+    return encode_png(_gradient(width, height, seed))
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 array → binary P6 PPM."""
+    height, width, _ = arr.shape
+    return f"P6\n{width} {height}\n255\n".encode() + arr.tobytes()
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 array → 8-bit RGB PNG (row filter = row % 5, so a
+    round-trip exercises all five PNG filters)."""
     import struct
 
-    arr = _gradient(width, height, seed)
+    height, width, _ = arr.shape
     bpp = 3
     raw = bytearray()
     prev = np.zeros(width * bpp, dtype=np.int32)
@@ -561,6 +573,242 @@ def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
         F.col("ts_ms").cast("long"),
         F.sha2(F.concat_ws(":", "media_id", "ts_ms"), 256).alias("payload_sha"),
     )
+
+
+# -- image near-duplicates: perceptual hash + banded grouping ---------------
+#
+# dHash over REAL decoded pixels (PPM/PNG/GIF — the formats this repo
+# decodes without PIL), then Hamming-banded candidate grouping: the
+# 64-bit hash splits into ``IMG_BANDS`` 16-bit bands, images sharing
+# any band value become candidates, and candidates verify by exact
+# Hamming distance.  With 4 bands, any pair within Hamming distance 3
+# shares at least one untouched band (pigeonhole: ≤3 flipped bits
+# touch ≤3 of the 4 bands), so for max_hamming ≤ bands-1 the banded
+# plan finds EXACTLY the all-pairs result — which is what makes the
+# DuckDB oracle exact rather than recall-based.  (VERDICT r5 item 5.)
+
+IMG_GRID_W = 9  # dHash grid: 9 columns of cell means →
+IMG_GRID_H = 8  # 8 rows × 8 adjacent-column comparisons = 64 bits
+IMG_BANDS = 4
+
+
+def _dhash_from_pixels(arr: np.ndarray) -> int:
+    """64-bit dHash of an HxWx3 uint8 array, as a SIGNED int64.
+
+    All-integer arithmetic (restated verbatim by the DuckDB oracle in
+    __spark_entry__.py): per-pixel gray SUM (r+g+b, no /3 rounding),
+    pixels binned to a 9×8 grid by ``cx = x*9 // w`` (any geometry, no
+    resample kernel), and adjacent cells compared by cross-multiplied
+    means — ``sum_l * cnt_r > sum_r * cnt_l`` — so unequal cell sizes
+    never bias the comparison and no float rounding exists anywhere.
+    Bit i (= row*8 + col) says cell (row, col) is brighter than cell
+    (row, col+1)."""
+    h, w, _ = arr.shape
+    gs = arr.astype(np.int64).sum(axis=2)
+    cx = (np.arange(w, dtype=np.int64) * IMG_GRID_W) // w
+    cy = (np.arange(h, dtype=np.int64) * IMG_GRID_H) // h
+    cell = cy[:, None] * IMG_GRID_W + cx[None, :]
+    sums = np.zeros(IMG_GRID_H * IMG_GRID_W, dtype=np.int64)
+    cnts = np.zeros(IMG_GRID_H * IMG_GRID_W, dtype=np.int64)
+    np.add.at(sums, cell.ravel(), gs.ravel())
+    np.add.at(cnts, cell.ravel(), 1)
+    s = sums.reshape(IMG_GRID_H, IMG_GRID_W)
+    c = cnts.reshape(IMG_GRID_H, IMG_GRID_W)
+    bits = (s[:, :-1] * c[:, 1:]) > (s[:, 1:] * c[:, :-1])
+    val = 0
+    for i, b in enumerate(bits.ravel()):
+        if b:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_dhash(media: DataFrame, strict: bool = True) -> DataFrame:
+    """(media_id, dhash) for every image row, via real decode.
+
+    mapInPandas — whole Arrow batches across the boundary; the decode
+    + hash kernel is per-image numpy.  Payload bytes never shuffle:
+    the hash projects out before any exchange downstream."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(p)
+                if data.startswith(PNG_SIG):
+                    _, _, arr = decode_png(data)
+                elif data.startswith(GIF_SIG):
+                    _, _, arr = decode_gif(data)
+                elif data.startswith(b"P6"):
+                    _, _, arr = decode_ppm(data)
+                elif strict:
+                    raise NotImplementedError(
+                        "image decode beyond PPM/PNG/GIF requires PIL — "
+                        "not in this container"
+                    )
+                else:
+                    continue
+                ids.append(mid)
+                hashes.append(_dhash_from_pixels(arr))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "dhash": pd.Series(hashes, dtype="int64")})
+
+    img = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return img.mapInPandas(kernel, "media_id long, dhash long")
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    dense_bucket_cap: int = 4096,
+    dense_report: dict | None = None,
+    handles: list | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs (a, b, hamming) with a < b and
+    Hamming(dhash_a, dhash_b) ≤ ``max_hamming``.
+
+    Plan shape (no all-pairs): one decode pass → 4 slim
+    (media_id, band, value) rows per image → self-join on the band
+    bucket → exact ``bit_count(xor)`` verify.  For
+    ``max_hamming ≤ 3`` the result EQUALS the brute-force all-pairs
+    answer (pigeonhole over the 4 bands), so the contract oracle is
+    exact.  Buckets wider than ``dense_bucket_cap`` (mass-duplicated
+    images) switch to representative-star candidates exactly like
+    :func:`de_spark.ops.dedup.minhash_lsh_pairs` — O(width) not
+    O(width²), connectivity through the bucket's min media_id, and
+    reported via ``dense_report``, never silent.
+
+    The (media_id, dhash) frame is used three times (banding + both
+    verify joins); it persists MEMORY_AND_DISK so the DECODE kernel
+    runs once, not three times.  ``handles`` collects the persisted
+    frame for the caller to unpersist after materialization; without
+    it the frame registers in the operator-cache registry released by
+    ``de_spark.ops.release_operator_caches()`` (same hygiene as
+    ``dedup.minhash_lsh_pairs``)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from de_spark.ops import register_operator_cache
+
+    sig = image_dhash(media).persist(StorageLevel.MEMORY_AND_DISK)
+    if handles is not None:
+        handles.append(sig)
+    else:
+        register_operator_cache(sig)
+    bands = sig.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftrightunsigned(F.col("dhash"), 16 * j)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for j in range(IMG_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    wb = Window.partitionBy("band", "bucket")
+    bands = bands.withColumn("bsz", F.count("*").over(wb)).withColumn(
+        "rep", F.min("media_id").over(wb)
+    )
+    if dense_report is not None:
+        row = (
+            bands.where(F.col("bsz") > dense_bucket_cap)
+            .agg(
+                F.count_distinct("band", "bucket").alias("dense_buckets"),
+                F.count_distinct("media_id").alias("docs_in_dense"),
+                F.max("bsz").alias("max_bucket"),
+            )
+            .collect()[0]
+        )
+        dense_report.update(
+            dense_buckets=row["dense_buckets"],
+            docs_in_dense=row["docs_in_dense"] or 0,
+            max_bucket=row["max_bucket"] or 0,
+            cap=dense_bucket_cap,
+        )
+    small = bands.where(F.col("bsz") <= dense_bucket_cap)
+    clique = (
+        small.select(F.col("media_id").alias("a"), "band", "bucket")
+        .join(small.select(F.col("media_id").alias("b"), "band", "bucket"),
+              ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    star = (
+        bands.where(F.col("bsz") > dense_bucket_cap)
+        .where(F.col("media_id") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("media_id").alias("b"))
+    )
+    cand = clique.unionByName(star).dropDuplicates(["a", "b"])
+    return (
+        cand.join(sig.select(F.col("media_id").alias("a"), F.col("dhash").alias("ha")), "a")
+        .join(sig.select(F.col("media_id").alias("b"), F.col("dhash").alias("hb")), "b")
+        .select(
+            "a", "b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# deterministic near-dup image fixture: FIX_N images in FIX_GROUPS
+# groups of three — an original, a uniformly-brightened copy (every
+# channel +FIX_DELTA: adjacent-cell differences unchanged → Hamming
+# 0), and a locally-patched copy (+FIX_BUMP on one 8×8 cell: at most
+# the 2 comparisons touching that cell flip → Hamming ≤ 2).  Formats
+# alternate PPM/PNG so the hash is provably format-agnostic.  All
+# pixel arithmetic is integer and mod-241 (241+FIX_BUMP < 256 — no
+# clipping), restated verbatim by the DuckDB oracle.
+FIX_W, FIX_H = 72, 64
+FIX_N, FIX_GROUPS = 30, 10
+FIX_DELTA, FIX_BUMP = 5, 12
+FIX_PATCH_CX, FIX_PATCH_CY = 3, 2
+
+
+def fixture_pixels(seed: int, delta: int = 0, bump: int = 0) -> np.ndarray:
+    """The oracle-restatable pixel function: three seeded linear
+    channels mod 241, plus a uniform brightness delta and a bump on
+    grid cell (FIX_PATCH_CX, FIX_PATCH_CY)."""
+    x = np.arange(FIX_W, dtype=np.int64)[None, :]
+    y = np.arange(FIX_H, dtype=np.int64)[:, None]
+    patch = (
+        ((x * IMG_GRID_W) // FIX_W == FIX_PATCH_CX)
+        & ((y * IMG_GRID_H) // FIX_H == FIX_PATCH_CY)
+    ).astype(np.int64) * bump
+    # gentle slopes on purpose: adjacent-cell mean differences sit
+    # near the FIX_BUMP magnitude, so the patched copies land at
+    # Hamming 1-3 (not always 0) and distinct seeds produce a few
+    # sub-threshold near-collisions — both exercise the banding
+    r = (x + 2 * y + 11 * seed) % 241 + delta + patch
+    g = (2 * x + y + 17 * seed) % 241 + delta + patch
+    b = (x + y + 29 * seed) % 241 + delta + patch
+    return np.stack(
+        [np.broadcast_to(c, (FIX_H, FIX_W)) for c in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+
+
+def image_fixture_media(spark: SparkSession, partitions: int = 4) -> DataFrame:
+    """The deterministic 30-image near-dup fixture as a MEDIA_SCHEMA
+    frame: image i has seed i%10; i<10 originals, 10≤i<20 brightened
+    (+FIX_DELTA), i≥20 patched (+FIX_BUMP on one cell)."""
+    rows = []
+    for i in range(FIX_N):
+        seed = i % FIX_GROUPS
+        delta = FIX_DELTA if FIX_GROUPS <= i < 2 * FIX_GROUPS else 0
+        bump = FIX_BUMP if i >= 2 * FIX_GROUPS else 0
+        arr = fixture_pixels(seed, delta, bump)
+        if i % 2 == 0:
+            mime, payload = "image/x-portable-pixmap", encode_ppm(arr)
+        else:
+            mime, payload = "image/png", encode_png(arr)
+        rows.append((i, "image", mime, bytearray(payload), FIX_W, FIX_H, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions)
 
 
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:

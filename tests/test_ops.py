@@ -513,3 +513,84 @@ def test_minhash_dense_bucket_star_sparsification(spark):
     # below the cap the full clique is unchanged (default behavior)
     clique = dedup.minhash_lsh_pairs(df, num_hashes=32, bands=8, threshold=0.9)
     assert len(clique.collect()) == 435
+
+
+def test_image_dhash_format_agnostic_and_real_decode(spark):
+    """The perceptual hash goes through a REAL decode: the same pixel
+    array encoded as PPM and as PNG yields the same dHash, and the
+    hash equals the pure-numpy reference on the decoded pixels."""
+    from de_spark.ops.multimodal import (
+        MEDIA_SCHEMA, _dhash_from_pixels, encode_png, encode_ppm, fixture_pixels,
+    )
+
+    arr = fixture_pixels(seed=4, delta=0, bump=0)
+    media = spark.createDataFrame(
+        [
+            (0, "image", "image/x-portable-pixmap", bytearray(encode_ppm(arr)), 72, 64, None),
+            (1, "image", "image/png", bytearray(encode_png(arr)), 72, 64, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r["dhash"] for r in multimodal.image_dhash(media).collect()}
+    assert got[0] == got[1] == _dhash_from_pixels(arr)
+
+
+def test_image_neardup_seeded_perturbations_recall(spark):
+    """Recall on seeded perturbations (VERDICT r5 item 5): every
+    brightened copy (Hamming 0) and every patched copy (Hamming ≤ 2)
+    must pair with its original through the BANDED plan, which for
+    Hamming ≤ 3 equals the brute-force all-pairs answer (4 bands are
+    pigeonhole-complete)."""
+    from de_spark.ops.multimodal import (
+        FIX_GROUPS, _dhash_from_pixels, fixture_pixels, image_fixture_media,
+    )
+
+    media = image_fixture_media(spark)
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in multimodal.image_neardup_pairs(media, max_hamming=3).collect()}
+    for s in range(FIX_GROUPS):
+        assert pairs[(s, s + FIX_GROUPS)] == 0          # uniform brightness
+        assert pairs[(s, s + 2 * FIX_GROUPS)] <= 2      # one-cell patch
+    # banded == brute force on the fixture
+    hs = {}
+    for i in range(3 * FIX_GROUPS):
+        seed = i % FIX_GROUPS
+        delta = 5 if FIX_GROUPS <= i < 2 * FIX_GROUPS else 0
+        bump = 12 if i >= 2 * FIX_GROUPS else 0
+        hs[i] = _dhash_from_pixels(fixture_pixels(seed, delta, bump))
+
+    def ham(a, b):
+        return bin((hs[a] ^ hs[b]) & (2 ** 64 - 1)).count("1")
+
+    brute = {
+        (a, b): ham(a, b)
+        for a in range(3 * FIX_GROUPS)
+        for b in range(a + 1, 3 * FIX_GROUPS)
+        if ham(a, b) <= 3
+    }
+    assert pairs == brute
+
+
+def test_image_neardup_dense_bucket_star(spark):
+    """Mass-duplicated images (one payload, many ids) would make the
+    band self-join quadratic; over the cap the plan switches to
+    representative-star candidates — O(width), connectivity kept,
+    reported not silent."""
+    from de_spark.ops.multimodal import MEDIA_SCHEMA, encode_ppm, fixture_pixels
+
+    payload = bytearray(encode_ppm(fixture_pixels(seed=1)))
+    other = bytearray(encode_ppm(fixture_pixels(seed=7)))
+    rows = [(i, "image", "image/x-portable-pixmap", payload, 72, 64, None)
+            for i in range(20)]
+    rows.append((99, "image", "image/x-portable-pixmap", other, 72, 64, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    report = {}
+    pairs = multimodal.image_neardup_pairs(
+        media, max_hamming=3, dense_bucket_cap=8, dense_report=report
+    ).collect()
+    assert report["max_bucket"] == 20 and report["docs_in_dense"] == 20
+    # star: every spoke pairs with media_id 0, never C(20,2)=190 rows
+    assert 0 < len(pairs) <= 19
+    assert all(r["a"] == 0 and r["hamming"] == 0 for r in pairs)
+    assert {r["b"] for r in pairs} == set(range(1, 20))
