@@ -189,11 +189,13 @@ def _kg_sparql_ask(spark, sf_dir):
 
 
 def _kg_sparql_describe(spark, sf_dir):
-    """DESCRIBE through the text surface: all triples whose subject is
-    a described resource (outgoing description, matching oxigraph's
-    QueryResults::Graph routing, src/query.rs:102-176); the described
-    set resolves in uid space and broadcast-semi-joins the fact
-    table."""
+    """DESCRIBE through the text surface: Concise Bounded Description —
+    all triples whose subject is a described resource, recursing
+    through blank-node objects (the corpus's bnode annotation layer
+    makes the closure observable; oracle is a recursive CTE).  The
+    reference routes DESCRIBE through QueryResults::Graph
+    (src/query.rs:102-176); the described set resolves in uid space
+    and broadcast-semi-joins the fact table."""
     from de_spark.query import sparql_describe
 
     kg = documents_kg(spark, sf_dir)
@@ -1092,16 +1094,26 @@ def oracle_sql() -> dict[str, str]:
           WHERE p = '{CODE}mentions' AND o = '{ENT}word/window'
         ) AS b
         """,
-        "kg_sparql_describe": TRIPLES_SQL
-        + f"""
+        # Concise Bounded Description: the described-set CTE recurses
+        # through blank-node objects (terms prefixed "_:"), the SQL
+        # twin of the seeded semi-naive bnode closure (UNION dedups,
+        # cycles terminate)
+        "kg_sparql_describe": TRIPLES_SQL.replace("WITH words", "WITH RECURSIVE words", 1)
+        + f""",
+        described(s) AS (
+          SELECT s FROM (
+            SELECT '{ENT}doc/0' AS s
+            UNION
+            SELECT a.s FROM triples a JOIN triples l ON l.s = a.s
+            WHERE a.p = '{CODE}mentions' AND a.o = '{ENT}word/window'
+              AND l.p = '{CODE}lang' AND l.o = '"fr"'
+          )
+          UNION
+          SELECT t.o FROM triples t JOIN described d ON t.s = d.s
+          WHERE substr(t.o, 1, 2) = '_:'
+        )
         SELECT DISTINCT t.s AS s, t.p AS p, t.o AS o
-        FROM triples t
-        WHERE t.s = '{ENT}doc/0'
-           OR t.s IN (
-             SELECT a.s FROM triples a JOIN triples l ON l.s = a.s
-             WHERE a.p = '{CODE}mentions' AND a.o = '{ENT}word/window'
-               AND l.p = '{CODE}lang' AND l.o = '"fr"'
-           )
+        FROM triples t JOIN described d ON t.s = d.s
         """,
         # bound-subject + closure: recursive CTE twin of the seeded
         # semi-naive reachability (set semantics — UNION dedups, as

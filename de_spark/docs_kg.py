@@ -17,10 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_spark.dictionary import build_dict_and_uids, position_flags
-from de_spark.encode import encode_triples
 from de_spark.graph import KnowledgeGraph
-from de_spark.stats import void_stats
 
 ENT = "http://example.org/"
 CODE = "http://example.org/code#"
@@ -103,6 +100,40 @@ def documents_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("iri").alias("o_kind"),
         "graph",
     )
+    # Blank-node annotation layer: every 7th doc carries a bnode
+    # annotation (doc →annotation→ _:ann, _:ann →score→ int literal),
+    # every 14th a second bnode hop (_:ann →detail→ _:det →note→
+    # literal).  This gives the corpus the bnode-rich shape Turtle
+    # property lists produce (``[ code:score 42 ]``), so DESCRIBE's
+    # Concise Bounded Description — recursing through bnode objects —
+    # is observable under an exact recursive-CTE oracle.
+    ann7 = docs.where(F.col("doc_id") % 7 == 0)
+    ann_lbl = F.concat(F.lit("_:ann"), F.col("doc_id").cast("string"))
+    det_lbl = F.concat(F.lit("_:det"), F.col("doc_id").cast("string"))
+
+    def atp(src, s, p, o, kind):
+        return src.select(
+            s.alias("s"), F.lit(p).alias("p"), o.alias("o"),
+            F.lit(kind).alias("o_kind"),
+            F.concat(F.lit("doc:///"), F.col("source")).alias("graph"),
+        )
+
+    doc_ann = atp(ann7, doc_iri, CODE + "annotation", ann_lbl, "bnode")
+    ann_score = atp(
+        ann7, ann_lbl, CODE + "score",
+        F.concat(
+            F.lit('"'), ((F.col("doc_id") * 13) % 100).cast("string"),
+            F.lit(f'"^^<{XSD}integer>'),
+        ),
+        "literal",
+    )
+    ann14 = docs.where(F.col("doc_id") % 14 == 0)
+    ann_det = atp(ann14, ann_lbl, CODE + "detail", det_lbl, "bnode")
+    det_note = atp(
+        ann14, det_lbl, CODE + "note",
+        F.concat(F.lit('"note-'), (F.col("doc_id") % 10).cast("string"), F.lit('"')),
+        "literal",
+    )
     return (
         doc_type.unionByName(doc_src)
         .unionByName(src_type)
@@ -111,16 +142,34 @@ def documents_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(doc_modified)
         .unionByName(doc_islong)
         .unionByName(mentions)
+        .unionByName(doc_ann)
+        .unionByName(ann_score)
+        .unionByName(ann_det)
+        .unionByName(det_note)
     )
 
 
 _KG_CACHE: dict[str, KnowledgeGraph] = {}
 # the .cache()d frames behind each KG, so release can unpersist them
 _KG_CACHED_FRAMES: dict[str, list[DataFrame]] = {}
+# the on-disk artifact dirs backing each KG, removed on release
+_KG_ARTIFACT_DIRS: dict[str, str] = {}
 
 
 def documents_kg(spark: SparkSession, sf_dir: str) -> KnowledgeGraph:
-    """Build (and cache per sf_dir) the in-memory KG over documents.
+    """Build (and cache per sf_dir) the KG over documents THROUGH THE
+    PIPELINE'S WRITE-THEN-LOAD PATH (pipeline.build → parquet →
+    KnowledgeGraph.load), exactly what a real deployment queries.
+
+    Loading from parquet matters beyond fidelity: it makes every KG
+    frame a LEAF in Catalyst's analyzed plan.  The former in-memory
+    variant cached frames whose analyzed plans were the full build
+    tree (a many-leg extraction union composed through dict/encode
+    joins); queries that reference term_uids/triples several times —
+    vocabulary-join chains, decode, and especially iterative closures
+    (DESCRIBE's CBD, property paths) — re-walked those giant trees on
+    every analysis pass, and single-threaded Catalyst time, not data,
+    dominated (observed 100s+ per query at sf0.001).
 
     The cache is deliberate WITHIN a suite of kg_* queries (they share
     the dictionary/triples); call :func:`release_documents_kg` when a
@@ -129,29 +178,32 @@ def documents_kg(spark: SparkSession, sf_dir: str) -> KnowledgeGraph:
     key = sf_dir.rstrip("/")
     if key in _KG_CACHE:
         return _KG_CACHE[key]
-    raw = documents_triples(spark, sf_dir).cache()
-    # single shared index pass (the pipeline's path): dict sec_ids and
-    # term uids from one (graph, sec_ord, term) sorted layout
-    handles: list[DataFrame] = []
-    dict_df, uids = build_dict_and_uids(position_flags(raw), handles=handles)
-    uids = uids.cache()
+    import tempfile
+
+    from de_spark.pipeline import build
+
+    out = tempfile.mkdtemp(prefix="de_docs_kg_")
+    loaded, _ = build(documents_triples(spark, sf_dir), out)
     kg = KnowledgeGraph(
-        term_uids=uids,
-        dict_df=dict_df.cache(),
-        triples=encode_triples(raw, uids).cache(),
-        stats=void_stats(raw).cache(),
+        term_uids=loaded.term_uids.cache(),
+        dict_df=loaded.dict_df.cache(),
+        triples=loaded.triples.cache(),
+        stats=loaded.stats.cache(),
+        pred_stats=loaded.pred_stats,
     )
     _KG_CACHE[key] = kg
-    # handles: the index pass's internal persists (zip_with_index
-    # layout) — released together with the visible frames
-    _KG_CACHED_FRAMES[key] = [raw, uids, kg.dict_df, kg.triples, kg.stats, *handles]
+    _KG_CACHED_FRAMES[key] = [kg.term_uids, kg.dict_df, kg.triples, kg.stats]
+    _KG_ARTIFACT_DIRS[key] = out
     return kg
 
 
 def release_documents_kg(sf_dir: str | None = None) -> int:
     """Unpersist the cached KG frames for ``sf_dir`` (or every sf_dir
-    when None) and forget the KG, so the next documents_kg call
-    rebuilds fresh.  Returns the number of frames released."""
+    when None), remove the backing artifact dir, and forget the KG, so
+    the next documents_kg call rebuilds fresh.  Returns the number of
+    frames released."""
+    import shutil
+
     keys = (
         [sf_dir.rstrip("/")]
         if sf_dir is not None
@@ -163,6 +215,9 @@ def release_documents_kg(sf_dir: str | None = None) -> int:
         for df in _KG_CACHED_FRAMES.pop(key, []):
             df.unpersist()
             n += 1
+        d = _KG_ARTIFACT_DIRS.pop(key, None)
+        if d:
+            shutil.rmtree(d, ignore_errors=True)
     return n
 
 
@@ -212,5 +267,22 @@ triples AS (
   SELECT '{ENT}doc/' || doc_id, '{CODE}mentions',
          '{ENT}word/' || w, 'doc:///' || source
   FROM words WHERE length(w) >= {MIN_WORD_LEN}
+  UNION ALL
+  SELECT '{ENT}doc/' || doc_id, '{CODE}annotation',
+         '_:ann' || doc_id, 'doc:///' || source
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT '_:ann' || doc_id, '{CODE}score',
+         '"' || ((doc_id * 13) % 100)::VARCHAR || '"^^<{XSD}integer>',
+         'doc:///' || source
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT '_:ann' || doc_id, '{CODE}detail',
+         '_:det' || doc_id, 'doc:///' || source
+  FROM documents WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT '_:det' || doc_id, '{CODE}note',
+         '"note-' || (doc_id % 10)::VARCHAR || '"', 'doc:///' || source
+  FROM documents WHERE doc_id % 14 = 0
 )
 """

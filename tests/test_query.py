@@ -191,6 +191,38 @@ def test_describe_const_and_var(fruit_kg):
     assert g2.count() == 20
 
 
+def test_describe_cbd_bnode_closure(spark, tmp_path_factory):
+    """DESCRIBE is a Concise Bounded Description: bnode objects pull in
+    the bnode's own description transitively; bnode CYCLES terminate;
+    IRI objects are NOT recursed; unreachable bnodes stay out."""
+    from de_spark.query import sparql_describe
+
+    nt = "\n".join(
+        [
+            "<http://x/a> <http://x/p> _:b1 .",
+            '_:b1 <http://x/q> "v1" .',
+            "_:b1 <http://x/r> _:b2 .",
+            '_:b2 <http://x/q> "v2" .',
+            "_:b2 <http://x/r> _:b1 .",  # bnode cycle
+            '_:b3 <http://x/q> "unreachable" .',
+            "<http://x/a> <http://x/p> <http://x/d> .",  # IRI object
+            '<http://x/d> <http://x/q> "dval" .',
+        ]
+    )
+    out = str(tmp_path_factory.mktemp("cbd_kg"))
+    kg, _ = build(triples_from_nt_text(spark, nt, "file:///cbd.hdt"), out)
+    g = sparql_describe(kg, "DESCRIBE <http://x/a>")
+    rows = {(r["s"], r["p"], r["o"]) for r in g.collect()}
+    assert rows == {
+        ("http://x/a", "http://x/p", "_:b1"),
+        ("http://x/a", "http://x/p", "http://x/d"),
+        ("_:b1", "http://x/q", '"v1"'),
+        ("_:b1", "http://x/r", "_:b2"),
+        ("_:b2", "http://x/q", '"v2"'),
+        ("_:b2", "http://x/r", "_:b1"),
+    }
+
+
 def test_filter_function_library(fruit_kg):
     """STRSTARTS/STRENDS/CONTAINS/STRLEN/IN over the fruit KG."""
     base = """
