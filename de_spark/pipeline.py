@@ -25,9 +25,12 @@ boundary-sampling job + offsets collect), (b) derives VOID + predicate
 stats from tiny aggregations over the build's own caches (position
 flags + the pre-sort encoded frame) instead of rescanning the written
 fact table — round 5 still paid two full parquet scans here — and
-(c) overlaps independent stage writes (uids ∥ dict, stats ∥
-pred_stats) on driver threads so planning of one action hides under
-execution of the other.
+(c) overlaps independent stage writes (uids ∥ dict ∥ triples — the
+encode joins read the LIVE uid frame off the shared index cache, not
+the uids parquet — and stats ∥ pred_stats) on driver threads so
+planning and the per-stage straggler tail of one action hide under
+execution of the others; only the 4N leg has idle cores to reclaim,
+so the overlap directly widens N→4N scaling efficiency.
 
 Iceberg note: the target deployment materializes these as partitioned
 Iceberg tables (snapshot semantics = the reference's immutable HDT +
@@ -177,48 +180,74 @@ def build(
 
     uids_dir = f"{out_dir}/term_uids"
     dict_dir = f"{out_dir}/dict"
+    triples_dir = f"{out_dir}/triples"
     handles: list[DataFrame] = []
+    enc_cache: list[DataFrame] = []
     flags = None
-    if _stage_done(uids_dir, resume) and _stage_done(dict_dir, resume):
+    need_index = not (_stage_done(uids_dir, resume) and _stage_done(dict_dir, resume))
+    need_triples = not _stage_done(triples_dir, resume)
+    if not need_index:
         # skip the eager index pass entirely on resume
         results.append(_write_stage(None, uids_dir, "term_uids", resume))
         results.append(_write_stage(None, dict_dir, "dict", resume))
+        if need_triples:
+            # lineage from the checkpointed uids parquet (resume path)
+            uids = spark.read.parquet(uids_dir)
+            results.append(
+                _write_stage(
+                    encode_triples(raw, uids, None),
+                    triples_dir,
+                    "triples",
+                    resume,
+                    partition_by=["graph"],
+                    sort=True,
+                    cache_sink=enc_cache,
+                )
+            )
+        else:
+            results.append(_write_stage(None, triples_dir, "triples", resume))
     else:
         # one term-universe shuffle (position flags) feeds the single
         # shared index pass that yields BOTH dict sec_ids and term uids
         flags = position_flags(raw).persist()
         handles.append(flags)
         dict_df, uids_df = build_dict_and_uids(flags, handles=handles, flags_persisted=True)
-        results.extend(
-            _parallel_stages(
-                [
-                    (uids_df, uids_dir, "term_uids", resume),
-                    (dict_df, dict_dir, "dict", resume),
-                ]
-            )
-        )
-    uids = spark.read.parquet(uids_dir)
-
-    triples_dir = f"{out_dir}/triples"
-    enc_cache: list[DataFrame] = []
-    if _stage_done(triples_dir, resume):
-        results.append(_write_stage(None, triples_dir, "triples", resume))
-    else:
-        if flags is not None:
+        # the uid table is read four times downstream (its own write,
+        # the dict join, the s- and o-encode joins): persist so the
+        # groupBy(term) agg over the index cache runs once
+        uids_df = uids_df.persist()
+        handles.append(uids_df)
+        jobs = [
+            (uids_df, uids_dir, "term_uids", resume),
+            (dict_df, dict_dir, "dict", resume),
+        ]
+        if need_triples:
+            # encode against the LIVE uid frame (identical content to
+            # the parquet being written — uid assignment is a pure
+            # function of the sorted index) so the triples stage needn't
+            # wait for the uids write to finish: all three writes run
+            # concurrently on driver threads over the one persisted
+            # index frame.  Sequencing these (r5 shape: uids+dict, then
+            # read uids parquet, then triples) left the high-parallelism
+            # leg idle-tailed per stage and re-paid the uids scan; the
+            # 1-core leg is work-bound either way, so the overlap
+            # directly buys N→4N scaling efficiency (north rule).
             p_vocab = flags.where(F.col("is_p") == 1).select("term").distinct()
-        else:
-            p_vocab = None  # encode derives it from triples_raw
-        results.append(
-            _write_stage(
-                encode_triples(raw, uids, p_vocab),
-                triples_dir,
-                "triples",
-                resume,
-                partition_by=["graph"],
-                sort=True,
-                cache_sink=enc_cache,
+            jobs.append(
+                (
+                    encode_triples(raw, uids_df, p_vocab),
+                    triples_dir,
+                    "triples",
+                    resume,
+                    ["graph"],
+                    True,
+                    enc_cache,
+                )
             )
-        )
+        st = _parallel_stages(jobs)
+        results.extend(st)
+        if not need_triples:
+            results.append(_write_stage(None, triples_dir, "triples", resume))
 
     # stats (VOID) ∥ pred_stats (BGP selectivity stats, SURVEY.md §4 P7)
     stats_dir = f"{out_dir}/stats"
