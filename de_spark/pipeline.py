@@ -30,7 +30,9 @@ encode joins read the LIVE uid frame off the shared index cache, not
 the uids parquet — and stats ∥ pred_stats) on driver threads so
 planning and the per-stage straggler tail of one action hide under
 execution of the others; only the 4N leg has idle cores to reclaim,
-so the overlap directly widens N→4N scaling efficiency.
+so the overlap directly widens N→4N scaling efficiency.  Wide
+single-JVM local mode (local[N>16]) falls back to uids ∥ dict then
+triples — measured allocation-contention exception, see build().
 
 Iceberg note: the target deployment materializes these as partitioned
 Iceberg tables (snapshot semantics = the reference's immutable HDT +
@@ -221,32 +223,43 @@ def build(
             (uids_df, uids_dir, "term_uids", resume),
             (dict_df, dict_dir, "dict", resume),
         ]
+        # Overlap policy: encode against the LIVE uid frame (identical
+        # content to the parquet being written — uid assignment is a
+        # pure function of the sorted index) so the triples stage
+        # needn't wait for the uids write: all three writes run
+        # concurrently on driver threads over the one persisted index
+        # frame.  Sequencing these (r5 shape: uids+dict, then read uids
+        # parquet, then triples) leaves idle tail cores per stage that
+        # only the high-parallelism leg could have used, so the overlap
+        # directly buys N→4N scaling efficiency (interleaved A/B at
+        # sf1.0 local[4]: 225.7s vs 243.2s, BENCH/ab_r6_overlap.log).
+        # EXCEPTION — wide single-JVM local mode: this dev box measures
+        # an allocation pathology above ~12 threads in ONE JVM
+        # (BENCH/BASELINE.md machine-ceiling table), and three
+        # concurrent jobs amplify it (local[32] sf0.1 interleaved mins:
+        # 36-42s sequential vs 47s overlapped).  Executors on a real
+        # cluster are separate JVMs, so the fallback applies only to
+        # local[N>16]; cluster masters always overlap.
+        master = spark.sparkContext.master
+        wide_local = master.startswith("local") and spark.sparkContext.defaultParallelism > 16
         if need_triples:
-            # encode against the LIVE uid frame (identical content to
-            # the parquet being written — uid assignment is a pure
-            # function of the sorted index) so the triples stage needn't
-            # wait for the uids write to finish: all three writes run
-            # concurrently on driver threads over the one persisted
-            # index frame.  Sequencing these (r5 shape: uids+dict, then
-            # read uids parquet, then triples) left the high-parallelism
-            # leg idle-tailed per stage and re-paid the uids scan; the
-            # 1-core leg is work-bound either way, so the overlap
-            # directly buys N→4N scaling efficiency (north rule).
             p_vocab = flags.where(F.col("is_p") == 1).select("term").distinct()
-            jobs.append(
-                (
-                    encode_triples(raw, uids_df, p_vocab),
-                    triples_dir,
-                    "triples",
-                    resume,
-                    ["graph"],
-                    True,
-                    enc_cache,
-                )
+            triples_job = (
+                encode_triples(raw, uids_df, p_vocab),
+                triples_dir,
+                "triples",
+                resume,
+                ["graph"],
+                True,
+                enc_cache,
             )
+            if not wide_local:
+                jobs.append(triples_job)
         st = _parallel_stages(jobs)
         results.extend(st)
-        if not need_triples:
+        if need_triples and wide_local:
+            results.append(_write_stage(*triples_job))
+        elif not need_triples:
             results.append(_write_stage(None, triples_dir, "triples", resume))
 
     # stats (VOID) ∥ pred_stats (BGP selectivity stats, SURVEY.md §4 P7)
