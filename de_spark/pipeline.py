@@ -240,8 +240,20 @@ def build(
         # 36-42s sequential vs 47s overlapped).  Executors on a real
         # cluster are separate JVMs, so the fallback applies only to
         # local[N>16]; cluster masters always overlap.
+        # DE_SPARK_OVERLAP_WRITES: auto (default — gate on wide local),
+        # always, never.  The two paths are result-identical (pinned by
+        # test_pipeline::test_overlap_paths_equivalent); the knob exists
+        # for operators and for that test.
+        mode = os.environ.get("DE_SPARK_OVERLAP_WRITES", "auto")
         master = spark.sparkContext.master
-        wide_local = master.startswith("local") and spark.sparkContext.defaultParallelism > 16
+        wide_local = (
+            mode == "never"
+            or (
+                mode != "always"
+                and master.startswith("local")
+                and spark.sparkContext.defaultParallelism > 16
+            )
+        )
         if need_triples:
             p_vocab = flags.where(F.col("is_p") == 1).select("term").distinct()
             triples_job = (

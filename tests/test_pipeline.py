@@ -58,3 +58,23 @@ def test_checksum_is_partitioning_invariant(spark, tmp_path):
         ma = json.load(open(os.path.join(a, stage, "_manifest.json")))
         mb = json.load(open(os.path.join(b, stage, "_manifest.json")))
         assert (ma["rows"], ma["checksum"]) == (mb["rows"], mb["checksum"]), stage
+
+
+def test_overlap_paths_equivalent(spark, tmp_path, monkeypatch):
+    """The concurrent (uids ∥ dict ∥ triples) and sequential
+    (wide-local fallback) write paths are RESULT-IDENTICAL: uid
+    assignment is a pure function of the sorted index, so encoding
+    from the live uid frame vs after its write changes scheduling
+    only.  Pinned via the order-insensitive per-stage checksums."""
+    from de_spark.corpus import generate_corpus
+    from de_spark.extract import extract_code_triples
+
+    raw = extract_code_triples(generate_corpus(spark, 0.001))
+    fps = {}
+    for mode in ("always", "never"):
+        monkeypatch.setenv("DE_SPARK_OVERLAP_WRITES", mode)
+        out = str(tmp_path / f"kg_{mode}")
+        _, stages = build(raw, out)
+        fps[mode] = [(s.name, s.rows, s.checksum) for s in stages]
+        assert all(not s.skipped for s in stages)
+    assert fps["always"] == fps["never"]
