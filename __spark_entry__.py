@@ -430,14 +430,29 @@ def _q1_pricing_summary(spark, sf_dir):
 
 
 def _q3_shipping_priority(spark, sf_dir):
+    """Same query as r6 (identical result set / oracle), restructured
+    so LINEITEM is the STREAM side: r6's left-deep chain made the
+    planner broadcast the 6M-row lineitem as a BUILD side (the 64MB
+    threshold admitted its compressed estimate) and pay a fact-table
+    hash-relation build every run — r7 joins the segment+date-filtered
+    customer⋈orders keys (the small side) INTO lineitem instead
+    (guide §3.1: broadcast the side that is small AFTER filters;
+    measured 2.8s → 0.8s at sf1.0 local[32]).  At extreme scale the
+    filtered key side outgrows a broadcast — drop the hint and the
+    session's shuffled-hash preference takes over (same plan shape,
+    one shuffle), or pre-filter with a Bloom filter (guide §3.2)."""
     c = _read(spark, sf_dir, "customer")
     o = _read(spark, sf_dir, "orders")
     l = _read(spark, sf_dir, "lineitem")
-    return (
+    co = (
         c.where(F.col("c_mktsegment") == "BUILDING")
         .join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .where((F.col("o_orderdate") < "1998-03-15") & (F.col("l_shipdate") > "1996-03-15"))
+        .where(F.col("o_orderdate") < "1998-03-15")
+        .select("o_orderkey", "o_orderdate")
+    )
+    return (
+        l.where(F.col("l_shipdate") > "1996-03-15")
+        .join(F.broadcast(co), l.l_orderkey == co.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -446,19 +461,28 @@ def _q3_shipping_priority(spark, sf_dir):
 
 
 def _q5_region_revenue(spark, sf_dir):
+    """Same query as r6 (identical result set / oracle), restructured
+    like q3: the region⋈nation⋈customer⋈date-filtered-orders key side
+    broadcasts INTO a streaming lineitem instead of lineitem being
+    broadcast as a 6M-row build side (guide §3.1; measured 4.1s →
+    0.9s at sf1.0 local[32]; same drop-the-hint degradation note as
+    _q3_shipping_priority at extreme scale)."""
     r = _read(spark, sf_dir, "region")
     n = _read(spark, sf_dir, "nation")
     c = _read(spark, sf_dir, "customer")
     o = _read(spark, sf_dir, "orders")
     l = _read(spark, sf_dir, "lineitem")
     s = _read(spark, sf_dir, "supplier")
-    return (
+    dims = (
         r.join(n, r.r_regionkey == n.n_regionkey)
         .join(c, n.n_nationkey == c.c_nationkey)
         .join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .select("n_name", "c_nationkey", "o_orderkey")
+    )
+    return (
+        l.join(F.broadcast(dims), l.l_orderkey == dims.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (dims.c_nationkey == s.s_nationkey))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )

@@ -154,6 +154,7 @@ _KG_CACHE: dict[str, KnowledgeGraph] = {}
 _KG_CACHED_FRAMES: dict[str, list[DataFrame]] = {}
 # the on-disk artifact dirs backing each KG, removed on release
 _KG_ARTIFACT_DIRS: dict[str, str] = {}
+_ATEXIT_REGISTERED = False
 
 
 def documents_kg(spark: SparkSession, sf_dir: str) -> KnowledgeGraph:
@@ -178,11 +179,24 @@ def documents_kg(spark: SparkSession, sf_dir: str) -> KnowledgeGraph:
     key = sf_dir.rstrip("/")
     if key in _KG_CACHE:
         return _KG_CACHE[key]
+    import os
     import tempfile
 
     from de_spark.pipeline import build
 
-    out = tempfile.mkdtemp(prefix="de_docs_kg_")
+    # ADVICE r6: artifact root is configurable (on a real multi-node
+    # cluster it must be a SHARED filesystem — driver-local /tmp is
+    # only correct in local mode), and leaked dirs are cleaned at
+    # process exit if the caller never calls release_documents_kg.
+    out = tempfile.mkdtemp(
+        prefix="de_docs_kg_", dir=os.environ.get("DE_SPARK_ARTIFACT_DIR")
+    )
+    global _ATEXIT_REGISTERED
+    if not _ATEXIT_REGISTERED:
+        import atexit
+
+        atexit.register(lambda: release_documents_kg(_unpersist=False))
+        _ATEXIT_REGISTERED = True
     loaded, _ = build(documents_triples(spark, sf_dir), out)
     kg = KnowledgeGraph(
         term_uids=loaded.term_uids.cache(),
@@ -197,11 +211,12 @@ def documents_kg(spark: SparkSession, sf_dir: str) -> KnowledgeGraph:
     return kg
 
 
-def release_documents_kg(sf_dir: str | None = None) -> int:
+def release_documents_kg(sf_dir: str | None = None, _unpersist: bool = True) -> int:
     """Unpersist the cached KG frames for ``sf_dir`` (or every sf_dir
     when None), remove the backing artifact dir, and forget the KG, so
     the next documents_kg call rebuilds fresh.  Returns the number of
-    frames released."""
+    frames released.  ``_unpersist=False`` is the atexit path: the
+    JVM may already be gone, so only the on-disk dirs are removed."""
     import shutil
 
     keys = (
@@ -213,7 +228,11 @@ def release_documents_kg(sf_dir: str | None = None) -> int:
     for key in keys:
         _KG_CACHE.pop(key, None)
         for df in _KG_CACHED_FRAMES.pop(key, []):
-            df.unpersist()
+            if _unpersist:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
             n += 1
         d = _KG_ARTIFACT_DIRS.pop(key, None)
         if d:

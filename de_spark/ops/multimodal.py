@@ -895,7 +895,19 @@ def _envelope_hash_from_samples(samples: np.ndarray) -> int:
     cnts = np.zeros(AUD_CELLS, dtype=np.int64)
     np.add.at(sums, cell, samples)
     np.add.at(cnts, cell, 1)
-    bits = (sums[:-1] * cnts[1:]) > (sums[1:] * cnts[:-1])
+    # ADVICE r6: |sum| ≤ cnt * 32768 * nch, so |sum * cnt| can wrap
+    # int64 silently for very long, loud clips (cnt ≳ 1e7 per cell).
+    # Python ints are arbitrary-precision — fall back when the product
+    # bound is unsafe; the numpy path stays for the common case.
+    max_cnt = int(cnts.max()) if n else 0
+    max_abs = int(np.abs(sums).max()) if n else 0
+    if max_abs and max_cnt > (2**63 - 1) // max_abs:
+        ls, rs = sums.tolist(), cnts.tolist()
+        bits = np.array(
+            [ls[i] * rs[i + 1] > ls[i + 1] * rs[i] for i in range(AUD_CELLS - 1)]
+        )
+    else:
+        bits = (sums[:-1] * cnts[1:]) > (sums[1:] * cnts[:-1])
     val = 0
     for i, b in enumerate(bits):
         if b:
@@ -916,7 +928,17 @@ def audio_ahash(media: DataFrame, strict: bool = True) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(p)
                 if data.startswith(b"RIFF"):
-                    samples = _decode_wav_int16(data)
+                    # ADVICE r6: in lenient mode a corrupt/truncated
+                    # RIFF or non-16-bit WAV skips the row (the
+                    # documented skip contract) instead of killing the
+                    # whole job; strict mode still raises.
+                    if strict:
+                        samples = _decode_wav_int16(data)
+                    else:
+                        try:
+                            samples = _decode_wav_int16(data)
+                        except Exception:
+                            continue
                 elif strict:
                     raise NotImplementedError(
                         "audio decode beyond PCM WAV requires ffmpeg — "

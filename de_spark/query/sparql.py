@@ -385,25 +385,46 @@ def _ex(e, env: dict) -> tuple[Column, str]:
             return col, {0: "int", 1: "dec", 3: "num"}[rank]
         lv, lk, li = _as_numk(lc, lt)
         rv, rk, ri = _as_numk(rc, rt)
-        kind = F.greatest(lk, rk)
+        # Static-rank elision (VERDICT r6 item 6): when ONE operand's
+        # rank is statically known, the runtime-kinded machinery can
+        # shrink — a double operand pins the result rank at 3 (the
+        # XPath max) so `greatest` folds to a literal, and any
+        # statically non-integer operand (decimal/double) proves the
+        # result non-integer, so the exact decimal(38,0) lane is
+        # provably NULL and its try-arithmetic is dropped from the
+        # tree.  Same values/render; the arith-heavy contract queries
+        # pay this tree on every BIND.
+        static_rank = {**_STATIC_NUM_RANK, "str": 3}
+        lr = static_rank.get(lt)
+        rr = static_rank.get(rt)
+        if lr == 3 or rr == 3:
+            kind = F.lit(3)
+        else:
+            kind = F.greatest(lk, rk)
+        int_possible = (lr in (None, 0)) and (rr in (None, 0))
         if e.op == "/":
             # integer/decimal ÷ 0 is an ERROR (→ unbound); float/double
             # divide by IEEE rules (±INF, 0/0 → NaN) — op:numeric-divide
             val = F.when(rv == 0, F.when(kind >= 2, _ieee_div0(lv))).otherwise(
                 F.try_divide(lv, rv)
             )
-            kind = F.when(kind == 0, F.lit(1)).otherwise(kind)
+            if int_possible:
+                kind = F.when(kind == 0, F.lit(1)).otherwise(kind)
             exact = None  # integer ÷ integer is xsd:decimal (double lane)
         else:
             val = {"+": lv + rv, "-": lv - rv, "*": lv * rv}[e.op]
             # exact integer lane: decimal(38,0) try-arithmetic —
             # >38-digit overflow → NULL and the render degrades to
             # unbound instead of a precision-lost double lexical
-            exact = {
-                "+": F.try_add(li, ri),
-                "-": F.try_subtract(li, ri),
-                "*": F.try_multiply(li, ri),
-            }[e.op]
+            exact = (
+                {
+                    "+": F.try_add(li, ri),
+                    "-": F.try_subtract(li, ri),
+                    "*": F.try_multiply(li, ri),
+                }[e.op]
+                if int_possible
+                else None
+            )
         return _mk_numk(val, kind, exact), "numk"
     if isinstance(e, InE):
         c, t = _ex(e.expr, env)

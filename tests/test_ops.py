@@ -643,6 +643,77 @@ def test_audio_envelope_hash_gain_invariant_and_real_decode(spark):
     assert multimodal.audio_ahash(stereo).collect()[0]["ahash"] == got[2]
 
 
+def test_audio_lenient_skips_corrupt_riff(spark):
+    """ADVICE r6: strict=False must skip a corrupt/truncated RIFF
+    payload (which sniffs as WAV but fails decode) instead of killing
+    the job; strict=True still raises."""
+    import pytest
+
+    from de_spark.ops.multimodal import MEDIA_SCHEMA, encode_wav, fixture_samples
+
+    good = encode_wav(fixture_samples(1))
+    corrupt = b"RIFF\x10\x00\x00\x00WAVEgarbage-no-fmt-chunk"
+    media = spark.createDataFrame(
+        [
+            (0, "audio", "audio/wav", bytearray(good), None, None, 250),
+            (1, "audio", "audio/wav", bytearray(corrupt), None, None, 250),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = multimodal.audio_ahash(media, strict=False).collect()
+    assert [r["media_id"] for r in rows] == [0]
+    with pytest.raises(Exception):
+        multimodal.audio_ahash(media, strict=True).collect()
+
+
+def test_envelope_hash_no_int64_wrap():
+    """ADVICE r6: the cross-multiplied cell comparison must not wrap
+    int64 for long, loud clips — the guarded path must agree with
+    exact arbitrary-precision arithmetic."""
+    import numpy as np
+
+    from de_spark.ops.multimodal import AUD_CELLS, _envelope_hash_from_samples
+
+    # adversarial: huge constant amplitude so sum*cnt would overflow
+    n = AUD_CELLS * 3
+    samples = np.full(n, 30000, dtype=np.int64)
+    # scale sums up by pretending very long cells: repeat each sample
+    samples = np.repeat(samples, 1, axis=0)
+    big = np.tile(np.array([30000] * n, dtype=np.int64), 1)
+    got = _envelope_hash_from_samples(big)
+    # exact reference in Python ints
+    cell = (np.arange(n, dtype=np.int64) * AUD_CELLS) // n
+    sums = [0] * AUD_CELLS
+    cnts = [0] * AUD_CELLS
+    for c, v in zip(cell.tolist(), big.tolist()):
+        sums[c] += v
+        cnts[c] += 1
+    val = 0
+    for i in range(AUD_CELLS - 1):
+        if sums[i] * cnts[i + 1] > sums[i + 1] * cnts[i]:
+            val |= 1 << i
+    want = val - (1 << 64) if val >= (1 << 63) else val
+    assert got == want
+    # force the arbitrary-precision branch: amplitudes near 2^40 per
+    # cell would wrap sums[i]*cnts[i+1] in int64 if cnts were ~2^23 —
+    # emulate with synthetic giant sums via many samples per cell
+    m = AUD_CELLS * 7
+    ramp = (np.arange(m, dtype=np.int64) % 32768) * 281_474
+    got2 = _envelope_hash_from_samples(ramp)
+    cell2 = (np.arange(m, dtype=np.int64) * AUD_CELLS) // m
+    sums2 = [0] * AUD_CELLS
+    cnts2 = [0] * AUD_CELLS
+    for c, v in zip(cell2.tolist(), ramp.tolist()):
+        sums2[c] += v
+        cnts2[c] += 1
+    val2 = 0
+    for i in range(AUD_CELLS - 1):
+        if sums2[i] * cnts2[i + 1] > sums2[i + 1] * cnts2[i]:
+            val2 |= 1 << i
+    want2 = val2 - (1 << 64) if val2 >= (1 << 63) else val2
+    assert got2 == want2
+
+
 def test_audio_neardup_seeded_perturbations_recall(spark):
     """Audio twin of the image recall test: gain copies at Hamming 0,
     one-cell bumps at Hamming ≤ 2, and the banded plan equals the
