@@ -555,14 +555,22 @@ def _events_agg_by_type(spark, sf_dir):
 
 
 def _events_latest_per_user(spark, sf_dir):
-    from pyspark.sql import Window
-
+    """Latest event per user — r7: ``max_by`` over the lexicographic
+    (ts, event_id) struct instead of a row_number window.  Identical
+    result (row_number rn=1 under ORDER BY ts DESC, event_id DESC ==
+    the max (ts, event_id) row) but the aggregate gets map-side
+    partial aggregation and skips the window's per-partition sort
+    (guide §2.3 "aggregate before you shuffle"; the shuffle carries
+    one candidate row per (user, map partition), not every event)."""
     e = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type")
+        e.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type"), F.struct("ts", "event_id")
+            ).alias("x")
+        )
+        .select("user_id", F.col("x.event_id").alias("event_id"), F.col("x.event_type").alias("event_type"))
     )
 
 
