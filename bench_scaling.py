@@ -73,7 +73,18 @@ shutil.rmtree(out, ignore_errors=True)
 """
 
 
-def run_probe(cpus: int, sf: float) -> tuple[int, float]:
+def _steal_jiffies() -> int:
+    """Cumulative host-steal jiffies across all CPUs (/proc/stat field
+    8) — recorded per leg so a steal-polluted run is excluded by DATA,
+    not narrative (VERDICT r6 item 1)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
+
+
+def run_probe(cpus: int, sf: float) -> tuple[int, float, int]:
     code = PROBE.format(repo=REPO)
     cmd = [sys.executable, "-c", code, str(cpus), str(sf)]
     # pin the whole leg (JVM + Python workers) to exactly `cpus` cores:
@@ -81,16 +92,18 @@ def run_probe(cpus: int, sf: float) -> tuple[int, float]:
     # inflates the small leg and understates scaling
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    s0 = _steal_jiffies()
     out = subprocess.run(
         cmd,
         capture_output=True,
         text=True,
         timeout=3600,
     )
+    steal = _steal_jiffies() - s0
     for line in out.stdout.splitlines():
         if line.startswith("PROBE_RESULT"):
             _, c, s, n, wall = line.split()
-            return int(n), float(wall)
+            return int(n), float(wall), steal
     raise RuntimeError(f"probe failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
@@ -107,6 +120,7 @@ def main() -> None:
     reps_high = int(os.environ.get("SPARK_GRAFT_SCALE_REPS_HIGH", str(reps)))
 
     runs: dict[int, list[float]] = {n_low: [], n_high: []}
+    steals: dict[int, list[int]] = {n_low: [], n_high: []}
     triples = 0
     for i in range(max(reps_low, reps_high)):
         legs = []
@@ -115,10 +129,14 @@ def main() -> None:
         if i < reps_low:
             legs.append(n_low)
         for cpus in legs:
-            n, wall = run_probe(cpus, sf)
+            n, wall, steal = run_probe(cpus, sf)
             triples = n
             runs[cpus].append(wall)
-            print(f"# run cpus={cpus} wall={wall:.1f}s", file=sys.stderr)
+            steals[cpus].append(steal)
+            print(
+                f"# run cpus={cpus} wall={wall:.1f}s steal_jiffies={steal}",
+                file=sys.stderr,
+            )
 
     best = {c: min(ws) for c, ws in runs.items()}
     tput = {c: triples / best[c] for c in best}
@@ -133,6 +151,8 @@ def main() -> None:
         "n_high": n_high,
         "walls_low": [round(w, 1) for w in runs[n_low]],
         "walls_high": [round(w, 1) for w in runs[n_high]],
+        "steal_jiffies_low": steals[n_low],
+        "steal_jiffies_high": steals[n_high],
         "best_wall_low": round(best[n_low], 1),
         "best_wall_high": round(best[n_high], 1),
         "tput_low": round(tput[n_low], 1),
