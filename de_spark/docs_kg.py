@@ -28,48 +28,44 @@ MIN_WORD_LEN = 5
 
 
 def documents_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet → triples_raw (s, p, o, o_kind, graph)."""
+    """documents.parquet → triples_raw (s, p, o, o_kind, graph).
+
+    r7: the ten per-doc legs (six fixed properties + four modulo-gated
+    bnode-annotation triples) are ONE native array-of-structs explode
+    over a single scan — the r6 shape was an 11-leg union that scanned
+    the documents parquet once per leg and paid per-leg planning and
+    task overhead (extract stage of the docs KG at sf1.0: ~4.6s →
+    ~2s).  The bnode entries are CASE-null'd into the same array and
+    filtered after the explode, so the emitted triple multiset is
+    IDENTICAL (pinned by the kg_triples_raw oracle hash; the DuckDB
+    twin TRIPLES_SQL below is untouched).  Only the distinct
+    source-type leg and the word-mentions explode remain separate."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     graph = F.concat(F.lit("doc:///"), F.col("source"))
     doc_iri = F.concat(F.lit(ENT + "doc/"), F.col("doc_id").cast("string"))
     src_iri = F.concat(F.lit(ENT + "source/"), F.col("source"))
 
-    def tp(s, p, o, kind):
-        return docs.select(
-            s.alias("s"), F.lit(p).alias("p"), o.alias("o"),
-            F.lit(kind).alias("o_kind"), graph.alias("graph"),
+    def t(s, p, o, kind):
+        return F.struct(
+            s.alias("s"), F.lit(p).alias("p"), o.alias("o"), F.lit(kind).alias("o_kind")
         )
 
-    doc_type = tp(doc_iri, RDF_TYPE, F.lit(CODE + "Document"), "iri")
-    doc_src = tp(doc_iri, CODE + "source", src_iri, "iri")
-    src_type = tp(src_iri, RDF_TYPE, F.lit(CODE + "Source"), "iri").distinct()
-    doc_lang = tp(doc_iri, CODE + "lang", F.concat(F.lit('"'), F.col("lang"), F.lit('"')), "literal")
     # typed integer literal per doc (the analog of the reference
     # fixtures' typed integers, tests/resources/superhero.ttl heights)
     # — exercises numeric value semantics + type promotion end-to-end
-    doc_nchars = tp(
-        doc_iri,
-        CODE + "nChars",
-        F.concat(
-            F.lit('"'), F.col("n_chars").cast("string"), F.lit(f'"^^<{XSD}integer>')
-        ),
-        "literal",
+    nchars_lex = F.concat(
+        F.lit('"'), F.col("n_chars").cast("string"), F.lit(f'"^^<{XSD}integer>')
     )
     # deterministic xsd:dateTime per doc (value = f(doc_id)) —
     # exercises instant comparison/ordering through exact oracles
-    doc_modified = tp(
-        doc_iri,
-        CODE + "modified",
-        F.concat(
-            F.lit('"'),
-            F.format_string(
-                "2024-01-%02dT%02d:00:00Z",
-                (F.col("doc_id") % 28 + 1).cast("int"),
-                (F.col("doc_id") % 24).cast("int"),
-            ),
-            F.lit(f'"^^<{XSD}dateTime>'),
+    modified_lex = F.concat(
+        F.lit('"'),
+        F.format_string(
+            "2024-01-%02dT%02d:00:00Z",
+            (F.col("doc_id") % 28 + 1).cast("int"),
+            (F.col("doc_id") % 24).cast("int"),
         ),
-        "literal",
+        F.lit(f'"^^<{XSD}dateTime>'),
     )
     # xsd:boolean with MIXED lexical forms ("true"/"1", "false"/"0")
     # so value-equality semantics are observable in the oracles
@@ -81,13 +77,58 @@ def documents_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(alt, F.lit("false"))
         .otherwise(F.lit("0"))
     )
-    doc_islong = tp(
-        doc_iri,
-        CODE + "isLong",
-        F.concat(F.lit('"'), bool_lex, F.lit(f'"^^<{XSD}boolean>')),
-        "literal",
+    # Blank-node annotation layer: every 7th doc carries a bnode
+    # annotation (doc →annotation→ _:ann, _:ann →score→ int literal),
+    # every 14th a second bnode hop (_:ann →detail→ _:det →note→
+    # literal).  This gives the corpus the bnode-rich shape Turtle
+    # property lists produce (``[ code:score 42 ]``), so DESCRIBE's
+    # Concise Bounded Description — recursing through bnode objects —
+    # is observable under an exact recursive-CTE oracle.
+    ann_lbl = F.concat(F.lit("_:ann"), F.col("doc_id").cast("string"))
+    det_lbl = F.concat(F.lit("_:det"), F.col("doc_id").cast("string"))
+    mod7 = F.col("doc_id") % 7 == 0
+    mod14 = F.col("doc_id") % 14 == 0
+    per_doc = F.array(
+        t(doc_iri, RDF_TYPE, F.lit(CODE + "Document"), "iri"),
+        t(doc_iri, CODE + "source", src_iri, "iri"),
+        t(doc_iri, CODE + "lang", F.concat(F.lit('"'), F.col("lang"), F.lit('"')), "literal"),
+        t(doc_iri, CODE + "nChars", nchars_lex, "literal"),
+        t(doc_iri, CODE + "modified", modified_lex, "literal"),
+        t(doc_iri, CODE + "isLong", F.concat(F.lit('"'), bool_lex, F.lit(f'"^^<{XSD}boolean>')), "literal"),
+        F.when(mod7, t(doc_iri, CODE + "annotation", ann_lbl, "bnode")),
+        F.when(
+            mod7,
+            t(
+                ann_lbl,
+                CODE + "score",
+                F.concat(
+                    F.lit('"'), ((F.col("doc_id") * 13) % 100).cast("string"),
+                    F.lit(f'"^^<{XSD}integer>'),
+                ),
+                "literal",
+            ),
+        ),
+        F.when(mod14, t(ann_lbl, CODE + "detail", det_lbl, "bnode")),
+        F.when(
+            mod14,
+            t(
+                det_lbl,
+                CODE + "note",
+                F.concat(F.lit('"note-'), (F.col("doc_id") % 10).cast("string"), F.lit('"')),
+                "literal",
+            ),
+        ),
     )
-
+    fixed = (
+        docs.select(F.explode(per_doc).alias("e"), graph.alias("graph"))
+        .where(F.col("e").isNotNull())
+        .select("e.s", "e.p", "e.o", "e.o_kind", "graph")
+    )
+    src_type = docs.select(
+        src_iri.alias("s"), F.lit(RDF_TYPE).alias("p"),
+        F.lit(CODE + "Source").alias("o"), F.lit("iri").alias("o_kind"),
+        graph.alias("graph"),
+    ).distinct()
     words = docs.select(
         doc_iri.alias("s"),
         graph.alias("graph"),
@@ -100,53 +141,7 @@ def documents_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("iri").alias("o_kind"),
         "graph",
     )
-    # Blank-node annotation layer: every 7th doc carries a bnode
-    # annotation (doc →annotation→ _:ann, _:ann →score→ int literal),
-    # every 14th a second bnode hop (_:ann →detail→ _:det →note→
-    # literal).  This gives the corpus the bnode-rich shape Turtle
-    # property lists produce (``[ code:score 42 ]``), so DESCRIBE's
-    # Concise Bounded Description — recursing through bnode objects —
-    # is observable under an exact recursive-CTE oracle.
-    ann7 = docs.where(F.col("doc_id") % 7 == 0)
-    ann_lbl = F.concat(F.lit("_:ann"), F.col("doc_id").cast("string"))
-    det_lbl = F.concat(F.lit("_:det"), F.col("doc_id").cast("string"))
-
-    def atp(src, s, p, o, kind):
-        return src.select(
-            s.alias("s"), F.lit(p).alias("p"), o.alias("o"),
-            F.lit(kind).alias("o_kind"),
-            F.concat(F.lit("doc:///"), F.col("source")).alias("graph"),
-        )
-
-    doc_ann = atp(ann7, doc_iri, CODE + "annotation", ann_lbl, "bnode")
-    ann_score = atp(
-        ann7, ann_lbl, CODE + "score",
-        F.concat(
-            F.lit('"'), ((F.col("doc_id") * 13) % 100).cast("string"),
-            F.lit(f'"^^<{XSD}integer>'),
-        ),
-        "literal",
-    )
-    ann14 = docs.where(F.col("doc_id") % 14 == 0)
-    ann_det = atp(ann14, ann_lbl, CODE + "detail", det_lbl, "bnode")
-    det_note = atp(
-        ann14, det_lbl, CODE + "note",
-        F.concat(F.lit('"note-'), (F.col("doc_id") % 10).cast("string"), F.lit('"')),
-        "literal",
-    )
-    return (
-        doc_type.unionByName(doc_src)
-        .unionByName(src_type)
-        .unionByName(doc_lang)
-        .unionByName(doc_nchars)
-        .unionByName(doc_modified)
-        .unionByName(doc_islong)
-        .unionByName(mentions)
-        .unionByName(doc_ann)
-        .unionByName(ann_score)
-        .unionByName(ann_det)
-        .unionByName(det_note)
-    )
+    return fixed.unionByName(src_type).unionByName(mentions)
 
 
 _KG_CACHE: dict[str, KnowledgeGraph] = {}

@@ -144,21 +144,44 @@ def minhash_signatures(
     become one string pass plus k integer mixes with full avalanche —
     the classic derive-k-hashes-from-one construction (guide §2.3,
     hash fewer bytes).  Measured at sf1.0 local[32]: signatures
-    33.7s → 3.6s.  The signature VALUES differ from r6's
+    33.7s → 3.3s.  The signature VALUES differ from r6's
     ``xxhash64(shingle, i)`` but the estimator — k independent
     min-hashes over the doc's distinct shingle set — is unchanged,
     and this mode is not oracle-pinned.  (An array_min/transform
     per-row formulation was tried and REJECTED: higher-order
     functions evaluate interpreted, outside whole-stage codegen —
-    2× slower than the codegen'd explode+aggregate.)"""
-    sh = shingles(documents, shingle_n, id_col, text_col)
+    2× slower than the codegen'd explode+aggregate.)
+
+    Both modes stream the shingle windows WITHOUT per-doc
+    deduplication: min over the shingle multiset equals min over the
+    distinct set, so the portable signatures are bit-identical to the
+    ``shingles()`` (distinct) formulation while skipping the
+    struct-array ``array_distinct`` (~2s at sf1.0).  The production
+    mode additionally hashes the n window fields directly
+    (``xxhash64(t0, .., tn)``), never materializing the joined
+    shingle string."""
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    sz = F.size(toks)
+    shifted = [toks.alias("t0")] + [
+        F.slice(toks, i + 1, sz).alias(f"t{i}") for i in range(1, shingle_n)
+    ]
+    windows = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.arrays_zip(*shifted)).alias("s")
+    ).where(F.col(f"s.t{shingle_n-1}").isNotNull())
     if portable:
+        sh = windows.select(
+            "doc_id",
+            F.concat_ws(" ", *[f"s.t{i}" for i in range(shingle_n)]).alias("shingle"),
+        )
         mins = [
             F.min(portable_hash64(F.col("shingle"), seed=i)).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     else:
-        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        sh = windows.select(
+            "doc_id",
+            F.xxhash64(*[f"s.t{i}" for i in range(shingle_n)]).alias("shingle"),
+        )
         mins = [
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
