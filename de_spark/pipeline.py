@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from de_spark.dictionary import build_dict_and_uids, position_flags
-from de_spark.encode import encode_triples, sort_spo
+from de_spark.encode import encode_triples, plan_spo_partitions, planned_sort_spo
 from de_spark.graph import KnowledgeGraph
 from de_spark.stats import void_stats_from_dict
 
@@ -189,14 +189,15 @@ def build(
         if need_triples:
             # lineage from the checkpointed uids parquet (resume path)
             uids = spark.read.parquet(uids_dir)
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            bounds = plan_spo_partitions(raw, uids, results[0].rows, nparts)
             results.append(
                 _write_stage(
-                    encode_triples(raw, uids, None),
+                    planned_sort_spo(encode_triples(raw, uids, None), bounds, nparts),
                     triples_dir,
                     "triples",
                     resume,
                     partition_by=["graph"],
-                    sort=True,
                 )
             )
         else:
@@ -253,13 +254,20 @@ def build(
         )
         if need_triples:
             p_vocab = flags.where(F.col("is_p") == 1).select("term").distinct()
+            # planned range partition (r7): repartitionByRange's
+            # boundary-sampling pass re-ran the FULL encode joins
+            # (~10-12s of the 29s triples stage at sf1.0); boundaries
+            # now come from a seeded raw-sample broadcast-probed
+            # against the uid cache (~2s, and it warms the uids cache
+            # every downstream consumer reads anyway)
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            bounds = plan_spo_partitions(raw, uids_df, results[0].rows, nparts)
             triples_job = (
-                encode_triples(raw, uids_df, p_vocab),
+                planned_sort_spo(encode_triples(raw, uids_df, p_vocab), bounds, nparts),
                 triples_dir,
                 "triples",
                 resume,
                 ["graph"],
-                True,
             )
             if not wide_local:
                 jobs.append(triples_job)
