@@ -843,11 +843,21 @@ def _push_filter_uid(kg: KnowledgeGraph, sols: DataFrame, e) -> DataFrame | None
     # — all gated by the shared _bind_push_ok
     if not _bind_push_ok(sols, v, e):
         return None
+    base = kg.term_uids
+    tcol = F.col("term")
+    if _parse_heavy(e):
+        base = base.select(
+            "uid",
+            "term",
+            F.regexp_extract(tcol, r'^"((?:[^"\\]|\\.)*)"', 1).alias("__plex"),
+            F.regexp_extract(tcol, r"\^\^<([^>]*)>$", 1).alias("__pdt"),
+        )
+        _seed_parse_refs(tcol, F.col("__plex"), F.col("__pdt"))
     try:
-        cond, tag = _ex(e, {v: (F.col("term"), "term")})
+        cond, tag = _ex(e, {v: (tcol, "term")})
     except ValueError:
         return None
-    matching = kg.term_uids.where(_as_bool(cond, tag)).select(F.col("uid").alias(v))
+    matching = base.where(_as_bool(cond, tag)).select(F.col("uid").alias(v))
     return sols.join(matching, v, "left_semi")
 
 
@@ -895,6 +905,66 @@ def _attach_exists_marker(
     return out.withColumn(name, flag)
 
 
+def _parse_heavy(expr) -> bool:
+    """Whether an expression re-derives term parse primitives enough
+    to warrant materializing them (arithmetic / comparisons / unary
+    numeric ops — the paths through _as_numk and the term-term
+    operator mapping)."""
+    return expr_has(expr, lambda x: isinstance(x, (Bin, Un)))
+
+
+def _seed_parse_refs(term_col: Column, lex_col: Column, dt_col: Column) -> None:
+    """Seed the per-Column parse memo (terms._memo) with projected
+    attribute refs: every ``terms.literal_value/datatype`` derivation
+    over ``term_col`` — and everything built on top (numeric lanes,
+    boolean/datetime values) — then references the SINGLE projected
+    primitive instead of re-inlining its regexp tree.  The r6 shape
+    repeated ``regexp_extract`` dozens of times per arithmetic BIND:
+    janino refused to compile the generated code (stack overflow →
+    interpreted fallback) and plain Column CONSTRUCTION cost ~1.3s
+    per query (guide §1.2 per-task work + §7.2 plan size)."""
+    term_col.__dict__.setdefault("_de_parse_memo", {}).update(
+        lex=lex_col, dt=dt_col
+    )
+
+
+def _project_parse_refs(
+    df: DataFrame, env: dict, temp: list[str], expr
+) -> DataFrame:
+    """Materialize the literal lex/dtype primitives of term-tagged env
+    vars as projected columns and seed the memo (see
+    _seed_parse_refs).  The projected aliases are referenced several
+    times by non-cheap consumers, so CollapseProject keeps the stage
+    split and each regexp runs ONCE per row."""
+    if not _parse_heavy(expr):
+        return df
+    for v, (c, t) in list(env.items()):
+        if t != "term":
+            continue
+        lexn, dtn = f"__plex_{v}", f"__pdt_{v}"
+        df = df.withColumn(
+            lexn, F.regexp_extract(c, r'^"((?:[^"\\]|\\.)*)"', 1)
+        ).withColumn(dtn, F.regexp_extract(c, r"\^\^<([^>]*)>$", 1))
+        _seed_parse_refs(c, F.col(lexn), F.col(dtn))
+        temp.extend([lexn, dtn])
+    return df
+
+
+def _render_staged(df: DataFrame, col: Column, tag: str, out: str) -> DataFrame:
+    """BIND result → rendered term column, staging runtime-kinded
+    ('numk') values through an intermediate projection so the render
+    references the computed struct ONCE instead of inlining the whole
+    arithmetic tree into each of its ~15 uses."""
+    if tag != "numk":
+        return df.withColumn(out, _render_term(col, tag))
+    tmp = f"__bv_{out}"
+    return (
+        df.withColumn(tmp, col)
+        .withColumn(out, _render_term(F.col(tmp), "numk"))
+        .drop(tmp)
+    )
+
+
 def _extend_one(kg: KnowledgeGraph, df: DataFrame | None, node) -> DataFrame:
     """Compile a single BIND over an already-compiled child frame
     (None = the empty/unit group)."""
@@ -911,8 +981,9 @@ def _extend_one(kg: KnowledgeGraph, df: DataFrame | None, node) -> DataFrame:
         if pushed is not None:
             return pushed
         df, env, temp = _with_term_strs(kg, df, vs)
+        df = _project_parse_refs(df, env, temp, node.expr)
     col, tag = _ex(node.expr, env)
-    return df.withColumn(node.var, _render_term(col, tag)).drop(*temp)
+    return _render_staged(df, col, tag, node.var).drop(*temp)
 
 
 _NONPUSH_CALLS = ("BOUND", "COALESCE", "IF", "STRUUID", "UUID", "RAND", "BNODE")
@@ -950,12 +1021,25 @@ def _push_bind_uid(kg: KnowledgeGraph, df: DataFrame, node) -> DataFrame | None:
     v = vs.pop()
     if not _bind_push_ok(df, v, node.expr):
         return None
+    base = kg.term_uids
+    tcol = F.col("term")
+    if _parse_heavy(node.expr):
+        # materialize the parse primitives once over the vocabulary
+        # (see _seed_parse_refs — shrinks the tree janino must compile
+        # and drops the per-row regexp fanout)
+        base = base.select(
+            "uid",
+            "term",
+            F.regexp_extract(tcol, r'^"((?:[^"\\]|\\.)*)"', 1).alias("__plex"),
+            F.regexp_extract(tcol, r"\^\^<([^>]*)>$", 1).alias("__pdt"),
+        )
+        _seed_parse_refs(tcol, F.col("__plex"), F.col("__pdt"))
     try:
-        col, tag = _ex(node.expr, {v: (F.col("term"), "term")})
+        col, tag = _ex(node.expr, {v: (tcol, "term")})
     except ValueError:
         return None
-    mapdf = kg.term_uids.select(
-        F.col("uid").alias(v), _render_term(col, tag).alias(node.var)
+    mapdf = _render_staged(base, col, tag, node.var).select(
+        F.col("uid").alias(v), node.var
     )
     # left join: a null (unbound) source var yields an unbound BIND
     # value, matching the generic path's null propagation
@@ -1280,17 +1364,37 @@ def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
                     run.append(ndj)
                     j += 1
             if len(run) >= 2:
+                # one term column + one parse-primitive projection
+                # shared by the WHOLE run: the memo (terms._memo)
+                # makes every expression in the run reuse the same
+                # numeric-lane subtrees, and the seeded refs keep the
+                # regexp primitives computed once per vocabulary row
+                # (see _seed_parse_refs)
+                tcol = F.col("term")
+                base = kg.term_uids
+                if any(_parse_heavy(r.expr) for r in run):
+                    base = base.select(
+                        "uid",
+                        "term",
+                        F.regexp_extract(tcol, r'^"((?:[^"\\]|\\.)*)"', 1).alias(
+                            "__plex"
+                        ),
+                        F.regexp_extract(tcol, r"\^\^<([^>]*)>$", 1).alias("__pdt"),
+                    )
+                    _seed_parse_refs(tcol, F.col("__plex"), F.col("__pdt"))
                 try:
-                    cols = [
-                        _render_term(
-                            *_ex(r.expr, {v0: (F.col("term"), "term")})
-                        ).alias(r.var)
-                        for r in run
+                    pairs = [
+                        (_ex(r.expr, {v0: (tcol, "term")}), r.var) for r in run
                     ]
                 except ValueError:
                     run = []
                 if run:
-                    mapdf = kg.term_uids.select(F.col("uid").alias(v0), *cols)
+                    mapdf = base
+                    for (col, tag), var in pairs:
+                        mapdf = _render_staged(mapdf, col, tag, var)
+                    mapdf = mapdf.select(
+                        F.col("uid").alias(v0), *[var for _, var in pairs]
+                    )
                     df = df.join(mapdf, v0, "left")
                     i = j
                     continue
@@ -1482,7 +1586,7 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery, graph: str | None = None) -> Dat
                 alias, ge = g
                 name = alias or f"__grp{i}"
                 col, tag = _ex(ge, _env_for(decoded))
-                decoded = decoded.withColumn(name, _render_term(col, tag))
+                decoded = _render_staged(decoded, col, tag, name)
                 group_cols.append(name)
         aggs = []
         agg_env = _env_for(decoded)
@@ -1597,7 +1701,7 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery, graph: str | None = None) -> Dat
         # ADVICE r3)
         for alias, e in q.select_exprs:
             col, tag = _ex(e, _env_for(decoded))
-            decoded = decoded.withColumn(alias, _render_term(col, tag))
+            decoded = _render_staged(decoded, col, tag, alias)
         proj = (
             (q.variables or [c for c in group_cols if not c.startswith("__grp")])
             + [a.alias for a in q.aggregates]
@@ -1607,7 +1711,7 @@ def execute(kg: KnowledgeGraph, q: ParsedQuery, graph: str | None = None) -> Dat
         # SELECT (expr AS ?alias) — non-aggregate computed projections
         for alias, e in q.select_exprs:
             col, tag = _ex(e, _env_for(decoded))
-            decoded = decoded.withColumn(alias, _render_term(col, tag))
+            decoded = _render_staged(decoded, col, tag, alias)
         if q.variables or q.select_exprs:
             proj = q.variables + [alias for alias, _ in q.select_exprs]
         else:

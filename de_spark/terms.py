@@ -37,19 +37,45 @@ def classify(term: Column) -> Column:
     )
 
 
+def _memo(term: Column, key: str, build) -> Column:
+    """Per-Column-INSTANCE memo of parse primitives.
+
+    The SPARQL expression compiler's env maps each variable to one
+    Column object, so every re-derivation of a primitive (lexical
+    form, datatype IRI, numeric lanes) over that variable returns the
+    SAME Column instead of re-running the whole py4j construction —
+    the r7 profile measured ~1.3s of pure Column construction per
+    arithmetic BIND query, dominated by these repeated subtrees.
+    Call sites that PRE-PROJECT a primitive (sparql._seed_parse_refs)
+    seed this memo with the projected attribute ref, which also
+    shrinks the ANALYZED tree: the regexp appears once in a lower
+    Project instead of dozens of times inline (big enough trees made
+    janino fail compilation and forced interpreted row eval).
+    Memoized values are pure functions of the term column, so sharing
+    them never changes results."""
+    memo = term.__dict__.setdefault("_de_parse_memo", {})
+    if key not in memo:
+        memo[key] = build()
+    return memo[key]
+
+
 def literal_value(term: Column) -> Column:
     """Lexical form of a literal term (contents of the leading quotes)."""
-    return F.regexp_extract(term, r'^"((?:[^"\\]|\\.)*)"', 1)
+    return _memo(
+        term, "lex", lambda: F.regexp_extract(term, r'^"((?:[^"\\]|\\.)*)"', 1)
+    )
 
 
 def literal_datatype(term: Column) -> Column:
     """Datatype IRI of a literal, or '' if plain/lang-tagged."""
-    return F.regexp_extract(term, r'\^\^<([^>]*)>$', 1)
+    return _memo(term, "dt", lambda: F.regexp_extract(term, r'\^\^<([^>]*)>$', 1))
 
 
 def literal_lang(term: Column) -> Column:
     """Language tag of a literal, or ''."""
-    return F.regexp_extract(term, r'"@([A-Za-z0-9-]+)$', 1)
+    return _memo(
+        term, "lang", lambda: F.regexp_extract(term, r'"@([A-Za-z0-9-]+)$', 1)
+    )
 
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -74,21 +100,25 @@ def numeric_value(term: Column) -> Column:
     maps explicitly — and ONLY for xsd:float/xsd:double, where the
     value space has infinities ("INF"^^xsd:integer is an invalid
     lexical and must stay NULL; ADVICE r5)."""
-    lv = literal_value(term)
-    dt = literal_datatype(term)
-    has_inf = dt.isin(XSD + "float", XSD + "double")
-    cast = lv.try_cast("double")
-    # Spark's string→double cast itself accepts "INF"/"Infinity"/"NaN"
-    # spellings, so integer/decimal datatypes (whose value spaces have
-    # no specials) must reject non-finite results explicitly
-    finite = cast.isNotNull() & ~F.isnan(cast) & (F.abs(cast) != float("inf"))
-    v = (
-        F.when(has_inf & lv.isin("INF", "+INF"), F.lit(float("inf")))
-        .when(has_inf & (lv == "-INF"), F.lit(float("-inf")))
-        .when(has_inf, cast)
-        .when(finite, cast)
-    )
-    return F.when(dt.isin(_NUMERIC_DTS), v)
+    def build():
+        lv = literal_value(term)
+        dt = literal_datatype(term)
+        has_inf = dt.isin(XSD + "float", XSD + "double")
+        cast = lv.try_cast("double")
+        # Spark's string→double cast itself accepts "INF"/"Infinity"/
+        # "NaN" spellings, so integer/decimal datatypes (whose value
+        # spaces have no specials) must reject non-finite results
+        # explicitly
+        finite = cast.isNotNull() & ~F.isnan(cast) & (F.abs(cast) != float("inf"))
+        v = (
+            F.when(has_inf & lv.isin("INF", "+INF"), F.lit(float("inf")))
+            .when(has_inf & (lv == "-INF"), F.lit(float("-inf")))
+            .when(has_inf, cast)
+            .when(finite, cast)
+        )
+        return F.when(dt.isin(_NUMERIC_DTS), v)
+
+    return _memo(term, "numv", build)
 
 
 # XPath numeric promotion ranks (op:numeric-* resolution order:
@@ -115,9 +145,13 @@ def integer_value(term: Column) -> Column:
     documented bound (Spark's widest decimal); beyond it the lexical
     try_cast yields NULL and the result degrades to unbound rather
     than a silently-wrong rendering."""
-    return F.when(
-        literal_datatype(term).isin(_INT_DTS),
-        literal_value(term).try_cast("decimal(38,0)"),
+    return _memo(
+        term,
+        "numi",
+        lambda: F.when(
+            literal_datatype(term).isin(_INT_DTS),
+            literal_value(term).try_cast("decimal(38,0)"),
+        ),
     )
 
 
@@ -127,13 +161,16 @@ def numeric_kind(term: Column) -> Column:
     non-numeric terms.  Drives SPARQL/XPath numeric result typing
     (integer+integer→integer, integer÷integer→decimal — the reference
     inherits this from spareval's operator mapping, src/sparql.rs:520)."""
-    dt = literal_datatype(term)
-    return (
-        F.when(dt.isin(_INT_DTS), F.lit(0))
-        .when(dt == XSD + "decimal", F.lit(1))
-        .when(dt == XSD + "float", F.lit(2))
-        .when(dt == XSD + "double", F.lit(3))
-    )
+    def build():
+        dt = literal_datatype(term)
+        return (
+            F.when(dt.isin(_INT_DTS), F.lit(0))
+            .when(dt == XSD + "decimal", F.lit(1))
+            .when(dt == XSD + "float", F.lit(2))
+            .when(dt == XSD + "double", F.lit(3))
+        )
+
+    return _memo(term, "numk", build)
 
 
 def boolean_value(term: Column) -> Column:
@@ -141,13 +178,16 @@ def boolean_value(term: Column) -> Column:
     numeral lexical forms ("true"/"1", "false"/"0") map to the same
     value, so "1"^^xsd:boolean = "true"^^xsd:boolean under the
     operator mapping; NULL for other terms (or invalid lexicals)."""
-    lv = literal_value(term)
-    return F.when(
-        literal_datatype(term) == XSD + "boolean",
-        F.when(lv.isin("true", "1"), F.lit(True)).when(
-            lv.isin("false", "0"), F.lit(False)
-        ),
-    )
+    def build():
+        lv = literal_value(term)
+        return F.when(
+            literal_datatype(term) == XSD + "boolean",
+            F.when(lv.isin("true", "1"), F.lit(True)).when(
+                lv.isin("false", "0"), F.lit(False)
+            ),
+        )
+
+    return _memo(term, "boolv", build)
 
 
 _DATETIME_DTS = [XSD + "dateTime", XSD + "date"]
@@ -158,9 +198,13 @@ def datetime_value(term: Column) -> Column:
     try_cast resolves timezone offsets to instants, so two lexical
     forms of the same moment compare equal and offsets order
     chronologically (SPARQL op:dateTime ordering)."""
-    return F.when(
-        literal_datatype(term).isin(_DATETIME_DTS),
-        literal_value(term).try_cast("timestamp"),
+    return _memo(
+        term,
+        "dtv",
+        lambda: F.when(
+            literal_datatype(term).isin(_DATETIME_DTS),
+            literal_value(term).try_cast("timestamp"),
+        ),
     )
 
 
