@@ -255,7 +255,10 @@ PII_PATTERNS: list[tuple[str, str]] = [
 
 
 def scrub_pii(
-    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Redact PII-like spans (emails, IPv4 addresses, long digit runs)
     → (doc_id, clean_text, n_redactions).
@@ -263,8 +266,46 @@ def scrub_pii(
     Patterns apply SEQUENTIALLY (each count runs on the previous
     stage's output; replacement tokens contain no digits/@, so stages
     never create new matches) — the DuckDB oracle restates the same
-    staging.  Pure Catalyst regexp_replace/split: scan-speed, no UDF,
-    trivially parallel at 100 TB (per-row map, no shuffle)."""
+    staging.
+
+    ``engine="arrow"`` (default) runs the six regex passes as
+    ``pyarrow.compute`` kernels over Arrow batches (guide §4.2): RE2
+    scans ~2× faster than java.util.regex on this shape (measured
+    sf0.1 local[32]: 0.77s → 0.33s), only the two needed columns
+    cross the Python boundary, and RE2 is the same regex engine the
+    DuckDB oracle uses.  ``engine="jvm"`` keeps the pure-Catalyst
+    ``regexp_count``/``regexp_replace`` formulation; the two are
+    result-identical (pinned by
+    tests/test_text.py::test_scrub_pii_engines_agree — the patterns
+    use only ASCII classes, \\b and bounded quantifiers, where Java
+    and RE2 semantics coincide).  Both are per-row maps: no shuffle,
+    trivially parallel at 100 TB."""
+    if engine == "arrow":
+        import pyarrow as pa
+
+        src = documents.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+
+        def scrub_batches(batches):
+            import pyarrow.compute as pc
+
+            for b in batches:
+                t, n = b.column("text"), None
+                for pat, rep in PII_PATTERNS:
+                    c = pc.count_substring_regex(t, pat)
+                    n = c if n is None else pc.add(n, c)
+                    t = pc.replace_substring_regex(t, pat, rep)
+                yield pa.RecordBatch.from_arrays(
+                    [b.column("doc_id"), t, pc.cast(n, pa.int64())],
+                    ["doc_id", "clean_text", "n_redactions"],
+                )
+
+        id_type = src.schema["doc_id"].dataType.simpleString()
+        return src.mapInArrow(
+            scrub_batches,
+            f"doc_id {id_type}, clean_text string, n_redactions bigint",
+        )
     t = F.col(text_col)
     n = F.lit(0)
     for pat, rep in PII_PATTERNS:
