@@ -37,7 +37,12 @@ def encode_triples(
     # predicate vocabulary is tiny: restrict + broadcast
     if p_vocab is None:
         p_vocab = triples_raw.select(F.col("p").alias("term")).distinct()
-    p_uid = term_uids.join(p_vocab, "term", "left_semi").select(
+    # explicit broadcast: p_vocab is a DISTINCT over the flags/raw
+    # frame, whose size ESTIMATE stays at the child's (Catalyst cannot
+    # see the reduction), so the planner otherwise sorts the whole uid
+    # table for a SortMergeJoin semi — just to build an 8-row
+    # broadcast input (observed in the sf1.0 plan capture)
+    p_uid = term_uids.join(F.broadcast(p_vocab), "term", "left_semi").select(
         F.col("term").alias("p"), F.col("uid").alias("p_id")
     )
 
