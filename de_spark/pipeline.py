@@ -114,6 +114,14 @@ def _write_stage(
     from pyspark.sql import Observation
 
     t0 = time.monotonic()
+    if callable(df):
+        # deferred construction: runs on THIS stage's (possibly
+        # overlapped) driver thread — the triples stage uses it so its
+        # partition-boundary planning jobs (sample scan + uid-cache
+        # probe + collect) overlap the uids/dict writes instead of
+        # serializing ahead of them (r7: the eager variant lengthened
+        # the 4-core critical path by the whole planning prefix)
+        df = df()
     # sort_spo range-shuffles, whose boundary-sampling pass re-runs the
     # encode joins once.  r6 persisted the encode output to avoid that
     # re-run; with shuffled-hash encode joins the re-run is CHEAPER
@@ -259,11 +267,18 @@ def build(
             # (~10-12s of the 29s triples stage at sf1.0); boundaries
             # now come from a seeded raw-sample broadcast-probed
             # against the uid cache (~2s, and it warms the uids cache
-            # every downstream consumer reads anyway)
+            # every downstream consumer reads anyway).  Deferred via a
+            # callable so the planning jobs run on the triples stage's
+            # own thread, overlapped with the uids/dict writes.
             nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-            bounds = plan_spo_partitions(raw, uids_df, results[0].rows, nparts)
+            n_raw = results[0].rows
+
+            def _triples_df(raw=raw, uids=uids_df, pv=p_vocab):
+                bounds = plan_spo_partitions(raw, uids, n_raw, nparts)
+                return planned_sort_spo(encode_triples(raw, uids, pv), bounds, nparts)
+
             triples_job = (
-                planned_sort_spo(encode_triples(raw, uids_df, p_vocab), bounds, nparts),
+                _triples_df,
                 triples_dir,
                 "triples",
                 resume,

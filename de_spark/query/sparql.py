@@ -1038,8 +1038,10 @@ def _push_bind_uid(kg: KnowledgeGraph, df: DataFrame, node) -> DataFrame | None:
         col, tag = _ex(node.expr, {v: (tcol, "term")})
     except ValueError:
         return None
-    mapdf = _render_staged(base, col, tag, node.var).select(
-        F.col("uid").alias(v), node.var
+    # render into an internal name first: a BIND var literally named
+    # "uid"/"term" must not collide with the vocabulary columns
+    mapdf = _render_staged(base, col, tag, "__r_bind").select(
+        F.col("uid").alias(v), F.col("__r_bind").alias(node.var)
     )
     # left join: a null (unbound) source var yields an unbound BIND
     # value, matching the generic path's null propagation
@@ -1390,10 +1392,16 @@ def _compile(kg: KnowledgeGraph, node, graph: str | None) -> DataFrame | None:
                     run = []
                 if run:
                     mapdf = base
-                    for (col, tag), var in pairs:
-                        mapdf = _render_staged(mapdf, col, tag, var)
+                    # internal render names: BIND vars must not collide
+                    # with the vocabulary's uid/term/__p* columns
+                    for k, ((col, tag), _var) in enumerate(pairs):
+                        mapdf = _render_staged(mapdf, col, tag, f"__r_bind{k}")
                     mapdf = mapdf.select(
-                        F.col("uid").alias(v0), *[var for _, var in pairs]
+                        F.col("uid").alias(v0),
+                        *[
+                            F.col(f"__r_bind{k}").alias(var)
+                            for k, (_, var) in enumerate(pairs)
+                        ],
                     )
                     df = df.join(mapdf, v0, "left")
                     i = j
